@@ -1,0 +1,112 @@
+"""Sample transforms: raw (points, labels) → model-ready voxel tensors.
+
+Twin of the reference ``core/datasets/torch_transforms.py``:
+- ``Voxelization`` — hist + reg grids with a (1, Z, X, Y) channel dim
+  (``torch_transforms.py:44-81``); here it also emits the grids in float32
+  (the reference carries float64 to a double-precision conv — TPUs run
+  f32/bf16; parity tolerance is budgeted in the tests).
+- ``ToFullDense`` — binarize input and/or GT (``:16-40``).
+- ``PointPadding`` — the TPU-path alternative: emit fixed-size padded
+  point/label/mask arrays (plus the host-exact flat voxel index) so
+  voxelization itself runs batched on device
+  (:func:`scenenet_tpu.ops.voxelize.voxelize_fused` /
+  ``voxelize_from_indices``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from scenenet_tpu.ops import voxel_np as vnp
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class Voxelization:
+    """(points (N,3), labels (N,)) → (hist (1,Z,X,Y), reg (1,Z,X,Y))."""
+
+    def __init__(self, keep_labels: Sequence[int],
+                 vox_size: Optional[Tuple[float, float, float]] = None,
+                 vxg_size: Optional[Tuple[int, int, int]] = (64, 64, 64),
+                 dtype=np.float32):
+        if vox_size is None and vxg_size is None:
+            raise ValueError("voxel size or voxelgrid size must be provided")
+        self.keep_labels = list(np.asarray(keep_labels).reshape(-1))
+        self.vox_size = vox_size
+        self.vxg_size = vxg_size
+        self.dtype = dtype
+
+    def __call__(self, sample):
+        pts, labels = sample
+        spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
+        hist = vnp.hist_on_voxel_np(pts, spec=spec)
+        reg = vnp.reg_on_voxel_np(pts, labels, self.keep_labels, spec=spec)
+        return hist[None].astype(self.dtype), reg[None].astype(self.dtype)
+
+
+class ToFullDense:
+    """Binarize ((t > 0)) the input and/or GT grids (``apply`` flags)."""
+
+    def __init__(self, apply: Tuple[bool, bool] = (True, True)):
+        self.apply = apply
+
+    def __call__(self, sample):
+        return tuple(
+            (t > 0).astype(t.dtype) if self.apply[i] else t
+            for i, t in enumerate(sample)
+        )
+
+
+@dataclasses.dataclass
+class PointPadding:
+    """(points, labels) → fixed-size (points, labels, mask, flat_idx) for
+    the on-device voxelization path.
+
+    - points are centered by their own float64 min (precision: see
+      ``scenenet_tpu.ops.voxelize`` module docs) and cast to float32;
+    - ``flat_idx`` is the host-exact (z,x,y)-flattened bin index
+      (pyntcloud-parity) so ``voxelize_from_indices`` can reproduce the
+      oracle bit-for-bit;
+    - clouds longer than ``max_points`` are uniformly subsampled
+      (deterministic per sample length).
+    """
+
+    max_points: int = 65536
+    vxg_size: Tuple[int, int, int] = (64, 64, 64)
+    vox_size: Optional[Tuple[float, float, float]] = None
+
+    def __call__(self, sample):
+        pts, labels = sample
+        n = len(pts)
+        if n > self.max_points:
+            rng = np.random.default_rng(n)
+            sel = rng.choice(n, self.max_points, replace=False)
+            pts, labels = pts[sel], labels[sel]
+            n = self.max_points
+
+        spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
+        idx = vnp.voxel_indices_np(pts, spec)
+        n_x, n_y, _ = spec.shape
+        flat = (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
+
+        out_pts = np.zeros((self.max_points, 3), np.float32)
+        out_lab = np.zeros(self.max_points, np.int32)
+        out_idx = np.zeros(self.max_points, np.int32)
+        mask = np.zeros(self.max_points, bool)
+        center = pts.min(0)
+        out_pts[:n] = (pts - center).astype(np.float32)
+        out_lab[:n] = np.asarray(labels[:n], np.int32)
+        out_idx[:n] = flat.astype(np.int32)
+        mask[:n] = True
+        return out_pts, out_lab, mask, out_idx

@@ -1,0 +1,283 @@
+"""SCENE-Net: GENEO observers combined by trainable convex coefficients.
+
+TPU-first re-design of the reference ``core/models/SCENE_Net.py``:
+
+- The model is a frozen dataclass (static config) + a *pure params pytree*;
+  ``apply(params, x)`` is jit/vmap/pjit-friendly and never mutates state.
+- The reference stores the "last" convex coefficient as a non-trainable
+  parameter that it re-writes inside ``forward``
+  (``SCENE_Net.py:330-333``). Here that trick is a *reparameterization*:
+  λ_last is derived functionally as ``1 − Σ_{i≠last} λ_i`` every call —
+  identical math, no mutation (the stored slot is kept for checkpoint/
+  logging parity but ignored by ``apply``).
+- Because convolution is linear in the kernel, the default forward path
+  synthesizes the G observer kernels, combines them with the convex
+  coefficients *first*, and runs a single 1-channel XLA conv instead of a
+  G-channel conv + weighted channel sum (``SCENE_Net.py:324-339``). This is
+  exact (linearity) and does G× less conv work. ``apply(...,
+  fuse_observers=False)`` keeps the per-observer responses for
+  interpretability.
+
+Version map (reference): ``SceneNet`` (live) uses the v2 kernels
+(cylinderv2 / arrow / negSpherev2, ``SCENE_Net.py:267-275``) with λ init
+U[−2/n, 1/n] (``:279-282``); the legacy ``SCENE_Net`` uses v1 kernels with
+λ init U[0, 0.6] (``:174-177``). Select with ``version=``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenenet_tpu.geneo.kernels import KERNEL_REGISTRY, random_geneo_params, smart_geneo_params
+from scenenet_tpu.ops.conv3d import conv3d_same
+
+# geneo_num keys → kernel registry kinds, per model version
+# (reference SCENE_Net.py:160-171 for v1, :264-275 for v2)
+_KIND_MAP = {
+    "v1": {"cy": "cylinder", "cone": "cone", "neg": "neg_sphere"},
+    "v2": {"cy": "cylinder_v2", "cone": "arrow", "neg": "neg_sphere_v2"},
+}
+_LAMBDA_INIT = {"v1": (0.0, 0.6), "v2": None}  # v2 range depends on n
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneNet:
+    """Static model definition. Create with :meth:`create` to draw params."""
+
+    geneo_num: Tuple[Tuple[str, int], ...] = (("cy", 1), ("cone", 1), ("neg", 1))
+    kernel_size: Tuple[int, int, int] = (9, 6, 6)
+    version: str = "v2"
+    last_lambda: str = "lambda_neg_0"
+
+    # ---- structure -------------------------------------------------------
+
+    @property
+    def observers(self) -> Tuple[Tuple[str, str], ...]:
+        """Ordered (observer_name, kernel_kind) pairs, e.g. ('cy_0','cylinder_v2')."""
+        kinds = _KIND_MAP[self.version]
+        out = []
+        for key, num in self.geneo_num:
+            for i in range(num):
+                out.append((f"{key}_{i}", kinds[key]))
+        return tuple(out)
+
+    @property
+    def lambda_names(self) -> Tuple[str, ...]:
+        return tuple(f"lambda_{name}" for name, _ in self.observers)
+
+    # ---- init ------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        geneo_num: Optional[Mapping[str, int]] = None,
+        kernel_size: Tuple[int, int, int] = (9, 6, 6),
+        version: str = "v2",
+        seed: int = 0,
+        smart: bool = False,
+    ) -> Tuple["SceneNet", Dict]:
+        """Build a model + randomly initialized params.
+
+        Mirrors the reference constructor: per-observer random (or "smart")
+        GENEO parameter draws, uniform λ draw, a random choice of the
+        non-trainable "last" λ, and a final re-write of the stored last λ so
+        the stored coefficients sum to 1 (``SCENE_Net.py:277-293``).
+        """
+        geneo_num = dict(geneo_num or {"cy": 1, "cone": 1, "neg": 1})
+        rng = np.random.default_rng(seed)
+        items = tuple((k, int(v)) for k, v in geneo_num.items())
+        n = sum(v for _, v in items)
+
+        lambda_names = [f"lambda_{k}_{i}" for k, v in items for i in range(v)]
+        last = lambda_names[int(rng.integers(0, n))]
+        model = cls(geneo_num=items, kernel_size=kernel_size, version=version, last_lambda=last)
+
+        geneo_params: Dict[str, Dict[str, jnp.ndarray]] = {}
+        for name, kind in model.observers:
+            init = smart_geneo_params(kind) if smart else random_geneo_params(kind, rng, kernel_size)
+            geneo_params[name] = {k: jnp.asarray(v, jnp.float32) for k, v in init.items()}
+
+        if version == "v1":
+            lo, hi = _LAMBDA_INIT["v1"]
+        else:
+            lo, hi = -2.0 / n, 1.0 / n
+        lam = {ln: jnp.asarray(rng.uniform(lo, hi), jnp.float32) for ln in lambda_names}
+        lam[last] = 1.0 - sum(lam[ln] for ln in lambda_names) + lam[last]
+
+        return model, {"geneo": geneo_params, "lambdas": lam}
+
+    # ---- functional pieces -------------------------------------------------
+
+    def synthesize_kernels(self, params: Mapping) -> jnp.ndarray:
+        """Stack per-observer GENEO kernels: (G, k_z, k_x, k_y)."""
+        ks = []
+        for name, kind in self.observers:
+            ks.append(KERNEL_REGISTRY[kind].fn(params["geneo"][name], self.kernel_size))
+        return jnp.stack(ks)
+
+    def effective_lambdas(self, params: Mapping) -> jnp.ndarray:
+        """Convex coefficients with λ_last := 1 − Σ others, observer order."""
+        free_sum = sum(
+            params["lambdas"][ln] for ln in self.lambda_names if ln != self.last_lambda
+        )
+        lams = []
+        for ln in self.lambda_names:
+            lams.append(1.0 - free_sum if ln == self.last_lambda else params["lambdas"][ln])
+        return jnp.stack(lams)
+
+    def apply(
+        self,
+        params: Mapping,
+        x: jnp.ndarray,
+        fuse_observers: bool = True,
+    ) -> jnp.ndarray:
+        """Forward pass: x (B, 1, Z, X, Y) → tower-probability grid, same shape.
+
+        relu∘tanh head as in the reference (``SCENE_Net.py:337``).
+        """
+        kernels = self.synthesize_kernels(params).astype(x.dtype)
+        lams = self.effective_lambdas(params).astype(x.dtype)
+        if fuse_observers:
+            combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
+            conv = conv3d_same(x, combined[None, None])
+        else:
+            conv = conv3d_same(x, kernels[:, None])
+            conv = jnp.einsum("g,bgzxy->bzxy", lams, conv)[:, None]
+        return jax.nn.relu(jnp.tanh(conv))
+
+    def observer_responses(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-observer convolution responses (B, G, Z, X, Y) — the white-box
+        interpretability view (pre-λ, pre-activation)."""
+        kernels = self.synthesize_kernels(params).astype(x.dtype)
+        return conv3d_same(x, kernels[:, None])
+
+    def __call__(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(params, x)
+
+    # ---- constraint/loss plumbing (reference get_cvx_coefficients /
+    # get_geneo_params, SCENE_Net.py:299-311) -------------------------------
+
+    def cvx_coefficients(self, params: Mapping) -> Dict[str, jnp.ndarray]:
+        return dict(params["lambdas"])
+
+    def geneo_params_flat(self, params: Mapping) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name, _ in self.observers:
+            for p, v in params["geneo"][name].items():
+                out[f"geneos_{name}_geneo_params_{p}"] = v
+        return out
+
+    def trainable_mask(self, params: Mapping) -> Dict:
+        """Pytree of bools: False for per-kernel non-trainables and λ_last.
+
+        Feed to ``optax.masked`` — the functional twin of the reference's
+        ``requires_grad`` flags (``SCENE_Net.py:86``, ``:291``).
+        """
+        kinds = dict(self.observers)
+        geneo = {
+            name: {
+                p: p not in KERNEL_REGISTRY[kinds[name]].non_trainable
+                for p in params["geneo"][name]
+            }
+            for name, _ in self.observers
+        }
+        lam = {ln: ln != self.last_lambda for ln in self.lambda_names}
+        return {"geneo": geneo, "lambdas": lam}
+
+    def parameters_in_dict(self, params: Mapping) -> Dict[str, float]:
+        """Scalar snapshot for interpretability logging (reference
+        ``get_model_parameters_in_dict``, ``SCENE_Net.py:313-319``), with the
+        *effective* λ_last."""
+        out = {}
+        for name, _ in self.observers:
+            for p, v in params["geneo"][name].items():
+                out[f"{name}.{p}"] = float(v)
+        lams = self.effective_lambdas(params)
+        for ln, v in zip(self.lambda_names, lams):
+            out[ln] = float(v)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantileSceneNet:
+    """Ensemble of one SceneNet per target quantile (aleatoric uncertainty).
+
+    Reference ``SCENENetQuantile`` (``SCENE_Net.py:347-415``): the ensemble
+    members run under ``vmap`` here instead of a Python loop, producing the
+    (B, Q, Z, X, Y) stacked prediction in one compiled conv.
+    """
+
+    net: SceneNet
+    quantiles: Tuple[float, ...] = (0.1, 0.5, 0.9)
+
+    @classmethod
+    def create(cls, geneo_num=None, kernel_size=(9, 6, 6), quantiles=(0.1, 0.5, 0.9),
+               version: str = "v2", seed: int = 0):
+        nets, params = [], []
+        for q in range(len(quantiles)):
+            net, p = SceneNet.create(geneo_num, kernel_size, version, seed=seed + q)
+            nets.append(net)
+            params.append(p)
+        # ensemble members share structure; stack their params on a leading axis
+        model = cls(net=nets[0], quantiles=tuple(quantiles))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+        return model, stacked
+
+    def apply(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
+        pred = jax.vmap(lambda p: self.net.apply(p, x))(params)  # (Q, B, 1, ...)
+        return jnp.moveaxis(pred[:, :, 0], 0, 1)  # (B, Q, Z, X, Y)
+
+    def _member(self, params, q: int):
+        return jax.tree.map(lambda a: a[q], params)
+
+    def cvx_coefficients(self, params):
+        return [
+            self.net.cvx_coefficients(self._member(params, q))
+            for q in range(len(self.quantiles))
+        ]
+
+    def geneo_params_flat(self, params):
+        return [
+            self.net.geneo_params_flat(self._member(params, q))
+            for q in range(len(self.quantiles))
+        ]
+
+    def trainable_mask(self, params):
+        base = self.net.trainable_mask(jax.tree.map(lambda a: a[0], params))
+        return base
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneNetClassifier:
+    """SceneNet + trainable threshold τ → hard {0,1} grid.
+
+    Reference ``SCENE_Net_Class`` (``SCENE_Net.py:421-466``). The hard
+    comparison is non-differentiable there too; we expose a
+    straight-through estimator so τ still receives gradient if trained.
+    """
+
+    net: SceneNet
+
+    @classmethod
+    def create(cls, geneo_num=None, kernel_size=(9, 6, 6), version: str = "v2", seed: int = 0):
+        net, params = SceneNet.create(geneo_num, kernel_size, version, seed)
+        rng = np.random.default_rng(seed + 17)
+        tau = jnp.asarray(0.2 + 0.4 * rng.random(), jnp.float32)  # U[0.2, 0.6]
+        return cls(net=net), {**params, "tau": tau}
+
+    def apply(self, params: Mapping, x: jnp.ndarray, straight_through: bool = False) -> jnp.ndarray:
+        probs = self.net.apply(params, x)
+        hard = (probs >= params["tau"]).astype(x.dtype)
+        if straight_through:
+            soft = jax.nn.sigmoid((probs - params["tau"]) * 50.0)
+            return soft + jax.lax.stop_gradient(hard - soft)
+        return hard
+
+    def trainable_mask(self, params):
+        mask = self.net.trainable_mask(params)
+        return {**mask, "tau": True}

@@ -1,0 +1,117 @@
+"""3D U-Net comparison baseline (reference ``core/models/unet.py:17-135``).
+
+Standard encoder/decoder with [Conv→BN→ReLU]×2 blocks, 2× maxpool
+downscaling, nearest-neighbor upsampling with pad-and-concat skip
+connections, 1×1×1 output conv and sigmoid head. Channel ladder
+32→64→128→256→512 (halved at the bottleneck for non-transpose upsampling,
+as in the reference).
+
+flax.linen, channel-last internally; BatchNorm running statistics are
+threaded functionally through the ``batch_stats`` collection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class _ConvBlock(nn.Module):
+    features: int
+    mid_features: int | None = None
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        mid = self.mid_features or self.features
+        k = (self.kernel,) * 3
+        x = nn.Conv(mid, k, padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, k, padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        return nn.relu(x)
+
+
+def _maxpool3d(x):
+    return nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+
+
+def _upsample_nearest(x):
+    b, d, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
+
+
+def _pad_to(x, target):
+    pads = [(0, 0)]
+    for ax in range(1, 4):
+        diff = target.shape[ax] - x.shape[ax]
+        pads.append((diff // 2, diff - diff // 2))
+    pads.append((0, 0))
+    return jnp.pad(x, pads)
+
+
+class _UNetModule(nn.Module):
+    n_classes: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = jnp.moveaxis(x, 1, -1)  # NCDHW → NDHWC
+        x1 = _ConvBlock(32)(h, train)
+        x2 = _ConvBlock(64)(_maxpool3d(x1), train)
+        x3 = _ConvBlock(128)(_maxpool3d(x2), train)
+        x4 = _ConvBlock(256)(_maxpool3d(x3), train)
+        x5 = _ConvBlock(256)(_maxpool3d(x4), train)  # 512/2 bottleneck
+
+        def up(a, skip, feats):
+            a = _upsample_nearest(a)
+            a = _pad_to(a, skip)
+            a = jnp.concatenate([skip, a], axis=-1)
+            return _ConvBlock(feats, mid_features=a.shape[-1] // 2)(a, train)
+
+        u = up(x5, x4, 128)
+        u = up(u, x3, 64)
+        u = up(u, x2, 32)
+        u = up(u, x1, 32)
+        out = nn.Conv(self.n_classes, (1, 1, 1))(u)
+        return jnp.moveaxis(nn.sigmoid(out), -1, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet3D:
+    n_classes: int = 1
+
+    @classmethod
+    def create(cls, n_classes: int = 1, seed: int = 0, input_shape=(1, 1, 64, 64, 64)):
+        model = cls(n_classes=n_classes)
+        variables = _UNetModule(n_classes).init(
+            jax.random.PRNGKey(seed), jnp.zeros(input_shape, jnp.float32), train=False
+        )
+        return model, dict(variables)
+
+    def apply(self, variables: Mapping, x: jnp.ndarray, train: bool = False):
+        """Returns pred (and new batch_stats when train=True)."""
+        if train:
+            pred, updates = _UNetModule(self.n_classes).apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return pred, updates
+        return _UNetModule(self.n_classes).apply(variables, x, train=False)
+
+    def __call__(self, variables, x):
+        return self.apply(variables, x)
+
+    def cvx_coefficients(self, variables):
+        return {}
+
+    def geneo_params_flat(self, variables):
+        return {}
+
+    def trainable_mask(self, variables):
+        return jax.tree.map(lambda _: True, variables)

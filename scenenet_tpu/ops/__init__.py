@@ -1,0 +1,42 @@
+from scenenet_tpu.ops.voxel_np import (
+    VoxelGridSpec,
+    compute_grid_spec,
+    voxel_indices_np,
+    hist_on_voxel_np,
+    reg_on_voxel_np,
+    classes_on_voxel_np,
+    normalize_per_column_np,
+    prob_to_label_np,
+    vxg_to_xyz_np,
+)
+from scenenet_tpu.ops.voxelize import (
+    voxelize_hist,
+    voxelize_reg,
+    voxelize_fused,
+    voxelize_from_indices,
+    voxel_indices,
+    prob_to_label,
+    vxg_to_xyz,
+)
+from scenenet_tpu.ops.conv3d import conv3d_same, geneo_conv
+
+__all__ = [
+    "VoxelGridSpec",
+    "compute_grid_spec",
+    "voxel_indices_np",
+    "hist_on_voxel_np",
+    "reg_on_voxel_np",
+    "classes_on_voxel_np",
+    "normalize_per_column_np",
+    "prob_to_label_np",
+    "vxg_to_xyz_np",
+    "voxelize_hist",
+    "voxelize_reg",
+    "voxelize_fused",
+    "voxelize_from_indices",
+    "voxel_indices",
+    "prob_to_label",
+    "vxg_to_xyz",
+    "conv3d_same",
+    "geneo_conv",
+]

@@ -1,0 +1,255 @@
+"""Device-side (JAX/XLA, TPU-first) voxelization kernels.
+
+The reference computes voxel grids on the host with pyntcloud + pandas
+groupby per sample (reference ``utils/voxelization.py:164-300``) — the main
+throughput limiter of its training pipeline (~1.6 s/it on 4 CPU workers).
+Here the whole point→voxel scatter runs on device as a fused, fixed-shape,
+batched ``segment_sum``: one pass produces both the density grid (model
+input) and the tower-fraction regression grid (ground truth).
+
+Design notes (TPU):
+- **Static shapes**: point clouds are padded to a fixed ``N`` with a boolean
+  mask; padded points scatter into a discard bin. This keeps one compiled
+  executable for the whole dataset.
+- **Batched**: ``voxelize_fused`` vmaps over the batch dimension, so a whole
+  batch of samples is voxelized in a single XLA scatter-add.
+- **Precision**: raw TS40K coordinates are UTM-scale (1e6); binning them in
+  float32 on device would lose ~0.5 m of precision. The data pipeline
+  centers each sample (subtract its float64 min on host) before upload, so
+  on-device binning of the ~±30 m residuals is exact to ~1e-6 voxel.
+  ``tests/test_voxelize.py`` gates device-vs-oracle parity on the reference
+  ``data-sample`` fixtures.
+
+Binning parity: the pyntcloud rule "point on an interior bin edge belongs to
+the lower bin" (see :mod:`scenenet_tpu.ops.voxel_np`) is
+``ceil((v - min)/step) - 1`` clipped to ``[0, n-1]``, which is what we
+compute here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_bounds(points: jnp.ndarray, mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Min/max over valid points only. points (N,3), mask (N,) bool."""
+    big = jnp.asarray(jnp.finfo(points.dtype).max, points.dtype)
+    m = mask[:, None]
+    lo = jnp.min(jnp.where(m, points, big), axis=0)
+    hi = jnp.max(jnp.where(m, points, -big), axis=0)
+    return lo, hi
+
+
+def grid_bounds(
+    points: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    regular_bounding_box: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample AABB, optionally expanded to equal side lengths (pyntcloud rule)."""
+    if mask is None:
+        mask = jnp.ones(points.shape[0], dtype=bool)
+    lo, hi = _masked_bounds(points, mask)
+    if regular_bounding_box:
+        rng = hi - lo
+        margin = jnp.max(rng) - rng
+        lo = lo - margin / 2
+        hi = hi + margin / 2
+    return lo, hi
+
+
+def voxel_indices(
+    points: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Per-point (x, y, z) bin indices for an (n_x, n_y, n_z) grid.
+
+    Matches pyntcloud's searchsorted-left rule: interior-edge points fall in
+    the lower bin; ``v == lo`` falls in bin 0.
+    """
+    shape = jnp.asarray(grid_shape, points.dtype)
+    step = (hi - lo) / shape
+    rel = (points - lo) / step
+    # LiDAR coordinates are typically quantized (cm/mm), and the sample AABB
+    # can align voxel edges exactly onto that lattice — so "point exactly on
+    # an edge" is NOT measure-zero. The oracle (f64 searchsorted-left) sends
+    # such points to the LOWER bin; float32 rounding here would flip them up
+    # about half the time. Biasing by ~1e-4 of a voxel (≲0.5 mm at TS40K
+    # scales) reproduces the lower-bin rule through f32 noise.
+    idx = jnp.ceil(rel - 1e-4).astype(jnp.int32) - 1
+    return jnp.clip(idx, 0, jnp.asarray(grid_shape, jnp.int32) - 1)
+
+
+def _flat_zxy_idx(idx: jnp.ndarray, grid_shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Flatten (x,y,z) bins into the (z, x, y)-ordered dense grid."""
+    n_x, n_y, _ = grid_shape
+    return (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
+
+
+def normalize_per_column(grid: jnp.ndarray) -> jnp.ndarray:
+    """Per-y-column minmax over (z,x) — device twin of
+    :func:`scenenet_tpu.ops.voxel_np.normalize_per_column_np`."""
+    n_y = grid.shape[-1]
+    flat = grid.reshape(-1, n_y)
+    lo = flat.min(axis=0)
+    hi = flat.max(axis=0)
+    scale = jnp.where(hi - lo == 0, 1.0, hi - lo)
+    return ((flat - lo) / scale).reshape(grid.shape)
+
+
+def _scatter_grids(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    values: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    lo: Optional[jnp.ndarray],
+    hi: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Core scatter: sum ``values`` (N, C) into a (C, n_z, n_x, n_y) grid."""
+    if lo is None or hi is None:
+        lo, hi = grid_bounds(points, mask)
+    idx = voxel_indices(points, lo, hi, grid_shape)
+    flat = _flat_zxy_idx(idx, grid_shape)
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    flat = jnp.where(mask, flat, size)  # padded points → discard bin
+    sums = jax.ops.segment_sum(values, flat, num_segments=size + 1)
+    return sums[:size].T.reshape(values.shape[1], n_z, n_x, n_y)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+def voxelize_fused(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    keep_labels: Tuple[int, ...] = (15,),
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+    lo: Optional[jnp.ndarray] = None,
+    hi: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-pass point-cloud → (density-input, tower-fraction-GT) voxel pair.
+
+    Fuses the reference's separate ``hist_on_voxel`` + ``reg_on_voxel``
+    passes (``utils/voxelization.py:164,244``, each a pandas groupby) into a
+    single device scatter over ``(count, is_tower)`` channels.
+
+    Parameters
+    ----------
+    points : (N, 3) float — padded point cloud (centered coordinates).
+    labels : (N,) — per-point class ids.
+    mask : (N,) bool — True for real points, False for padding.
+    keep_labels : static tuple of label ids that count as "tower".
+    grid_shape : static (n_x, n_y, n_z).
+
+    Returns
+    -------
+    hist : (n_z, n_x, n_y) float32 — per-column-minmax-normalized counts.
+    reg : (n_z, n_x, n_y) float32 — fraction of tower points per voxel.
+
+    Batched use: ``jax.vmap(voxelize_fused, in_axes=(0, 0, 0, None, None))``.
+    """
+    is_tower = jnp.zeros(labels.shape, points.dtype)
+    for lbl in keep_labels:
+        is_tower = jnp.logical_or(is_tower, labels == lbl).astype(points.dtype)
+    values = jnp.stack([jnp.ones_like(is_tower), is_tower], axis=1)
+    grids = _scatter_grids(points, mask, values, grid_shape, lo, hi)
+    counts, tower = grids[0], grids[1]
+    hist = normalize_per_column(counts)
+    reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
+    return hist, reg
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def voxelize_hist(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+    lo: Optional[jnp.ndarray] = None,
+    hi: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Density grid only (device twin of ``hist_on_voxel``)."""
+    values = jnp.ones((points.shape[0], 1), points.dtype)
+    counts = _scatter_grids(points, mask, values, grid_shape, lo, hi)[0]
+    return normalize_per_column(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+def voxelize_reg(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    keep_labels: Tuple[int, ...] = (15,),
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+    lo: Optional[jnp.ndarray] = None,
+    hi: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Tower-fraction grid only (device twin of ``reg_on_voxel``)."""
+    _, reg = voxelize_fused(points, labels, mask, keep_labels, grid_shape, lo, hi)
+    return reg
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def voxelize_from_indices(
+    flat_idx: jnp.ndarray,
+    is_tower: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bit-exact hybrid path: host-computed voxel indices → device scatter.
+
+    Rationale: LiDAR fixtures contain points lying *exactly* on voxel edges
+    (cm-quantized coordinates + edges on the same lattice). The reference's
+    pyntcloud binning resolves those points through float64 ``linspace``
+    rounding noise, which a float32 device path cannot reproduce bit-for-bit
+    (measured deviation of the raw device path: ≤0.06% of points on the
+    reference fixtures). When exact parity matters, the data loader computes
+    the per-point flat (z,x,y) bin index on host in float64
+    (:func:`scenenet_tpu.ops.voxel_np.voxel_indices_np`) and the device does
+    what it is good at — the batched scatter + normalization.
+
+    ``flat_idx`` must already be in (z, x, y)-flattened order; padded points
+    carry ``mask=False``.
+    """
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    idx = jnp.where(mask, flat_idx, size)
+    values = jnp.stack([mask.astype(jnp.float32), is_tower.astype(jnp.float32)], axis=1)
+    sums = jax.ops.segment_sum(values, idx, num_segments=size + 1)
+    grids = sums[:size].T.reshape(2, n_z, n_x, n_y)
+    counts, tower = grids[0], grids[1]
+    hist = normalize_per_column(counts)
+    reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
+    return hist, reg
+
+
+def prob_to_label(grid: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """Threshold probabilities to {0,1} (reference ``voxelization.py:304-323``)."""
+    return (grid >= tau).astype(grid.dtype)
+
+
+def vxg_to_xyz(
+    vxg: jnp.ndarray,
+    origin: Optional[jnp.ndarray] = None,
+    voxel_size: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense (z,x,y)-indexed grid → (Z*X*Y, 4) point list with values.
+
+    Device twin of reference ``voxelization.py:328-360`` (which loops in
+    Python per voxel); here a broadcasted iota gather.
+    """
+    if origin is None:
+        origin = jnp.zeros(3, vxg.dtype)
+    if voxel_size is None:
+        voxel_size = jnp.ones(3, vxg.dtype)
+    shape = vxg.shape
+    axes = [
+        jax.lax.broadcasted_iota(vxg.dtype, shape, dimension=d).reshape(-1)
+        for d in range(3)
+    ]
+    points = jnp.stack(axes, axis=1) * voxel_size + origin
+    return jnp.concatenate([points, vxg.reshape(-1, 1)], axis=1)

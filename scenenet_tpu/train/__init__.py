@@ -1,0 +1,22 @@
+from scenenet_tpu.train.metrics import MetricState, init_metric_state, update_metrics, compute_metrics
+from scenenet_tpu.train.state import TrainState, create_train_state, resolve_optimizer
+from scenenet_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, CheckpointManager
+from scenenet_tpu.train.callbacks import EarlyStopping, BestMetricTracker
+from scenenet_tpu.train.loop import Trainer, TrainConfig
+
+__all__ = [
+    "MetricState",
+    "init_metric_state",
+    "update_metrics",
+    "compute_metrics",
+    "TrainState",
+    "create_train_state",
+    "resolve_optimizer",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "CheckpointManager",
+    "EarlyStopping",
+    "BestMetricTracker",
+    "Trainer",
+    "TrainConfig",
+]

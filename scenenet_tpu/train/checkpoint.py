@@ -1,0 +1,107 @@
+"""Checkpointing: flat-npz pytree snapshots + a per-metric top-k manager.
+
+TPU-native twin of the reference's six Lightning ``ModelCheckpoint``
+callbacks (one per monitored metric + train_loss, top-2, ``save_last``;
+reference ``scripts/main.py:57-102``, ``core/lit_modules/lit_callbacks.py``).
+
+Format: one ``.npz`` with '/'-joined pytree paths as keys (portable, no
+framework lock-in) plus a JSON sidecar with step/score metadata. Works for
+any params pytree (SceneNet scalars, flax UNet variables, optimizer state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **_flatten(tree))
+    if metadata is not None:
+        with open(path.replace(".npz", "") + ".json", "w") as f:
+            json.dump(metadata, f, indent=2, default=float)
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure of ``template`` (shapes must match)."""
+    data = np.load(path)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path_keys, leaf in leaves_with_path:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path_keys
+        )
+        if key not in data:
+            raise KeyError(f"checkpoint missing parameter {key!r}")
+        arr = data[key]
+        new_leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class CheckpointManager:
+    """Per-metric top-k checkpoint retention + ``last`` snapshot."""
+
+    def __init__(self, directory: str, monitors: Dict[str, str], top_k: int = 2,
+                 save_last: bool = True):
+        """``monitors`` maps metric name → 'max'|'min'."""
+        self.directory = directory
+        self.monitors = monitors
+        self.top_k = top_k
+        self.save_last = save_last
+        self.best: Dict[str, List[Tuple[float, str]]] = {m: [] for m in monitors}
+        os.makedirs(directory, exist_ok=True)
+
+    def _better(self, metric: str, a: float, b: float) -> bool:
+        return a > b if self.monitors[metric] == "max" else a < b
+
+    def step(self, tree: Any, scores: Dict[str, float], step: int) -> List[str]:
+        """Record new scores; save checkpoints that enter a top-k. Returns
+        the paths written."""
+        written = []
+        for metric, mode in self.monitors.items():
+            if metric not in scores:
+                continue
+            score = float(scores[metric])
+            ranked = self.best[metric]
+            if len(ranked) < self.top_k or self._better(metric, score, ranked[-1][0]):
+                fname = os.path.join(self.directory, f"{metric}_step{step}.npz")
+                save_checkpoint(fname, tree, {"step": step, metric: score, "mode": mode})
+                ranked.append((score, fname))
+                ranked.sort(key=lambda t: t[0], reverse=(mode == "max"))
+                while len(ranked) > self.top_k:
+                    _, evicted = ranked.pop()
+                    for suffix in (".npz", ".json"):
+                        p = evicted.replace(".npz", "") + suffix
+                        if os.path.exists(p):
+                            os.remove(p)
+                written.append(fname)
+        if self.save_last:
+            fname = os.path.join(self.directory, "last.npz")
+            save_checkpoint(fname, tree, {"step": step, **scores})
+            written.append(fname)
+        return written
+
+    def best_path(self, metric: str) -> Optional[str]:
+        ranked = self.best.get(metric)
+        return ranked[0][1] if ranked else None
+
+    def best_score(self, metric: str) -> Optional[float]:
+        ranked = self.best.get(metric)
+        return ranked[0][0] if ranked else None

@@ -1,0 +1,216 @@
+"""The training runtime: jitted steps, epoch loop, checkpoints, early stop.
+
+TPU-first re-design of the reference's Lightning stack
+(``core/lit_modules/lit_model_wrappers.py``, ``scripts/main.py:224-268``):
+
+- One **jitted train step** carries (TrainState, MetricState) through grads,
+  optax update and on-device confusion-count accumulation — no host sync
+  inside an epoch beyond the data feed.
+- GENEO criteria receive the convex coefficients and kernel parameters
+  *derived from the live params inside the jitted loss* (the reference
+  passes live ``nn.ParameterDict``s, ``lit_model_wrappers.py:164-170``).
+- Per-metric top-k checkpointing, early stopping, per-epoch interpretable
+  parameter logging and one gradient snapshot per epoch mirror the
+  reference callbacks (SURVEY.md §2.7, §5.4, §5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scenenet_tpu.train.callbacks import BestMetricTracker, EarlyStopping
+from scenenet_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
+from scenenet_tpu.train.metrics import (
+    DEFAULT_BETA,
+    DEFAULT_TAU,
+    METRIC_NAMES,
+    MetricState,
+    compute_metrics,
+    init_metric_state,
+    update_metrics,
+)
+from scenenet_tpu.train.state import TrainState, create_train_state
+from scenenet_tpu.utils.logging import RunLogger
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    max_epochs: int = 20
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    tau: float = DEFAULT_TAU
+    fbeta: float = DEFAULT_BETA
+    accumulate_grad_batches: int = 1
+    early_stop_metric: Optional[str] = "train_FBetaScore"
+    early_stop_patience: int = 25
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_top_k: int = 2
+    run_dir: str = "runs/default"
+    log_gradients: bool = True
+    use_wandb: bool = False
+
+
+class Trainer:
+    """Generic trainer for models following the functional protocol:
+    ``model.apply(params, x) -> pred`` (+ optional ``cvx_coefficients``,
+    ``geneo_params_flat``, ``last_lambda``, ``trainable_mask``)."""
+
+    def __init__(self, model: Any, criterion: Callable, config: TrainConfig,
+                 logger: Optional[RunLogger] = None):
+        self.model = model
+        self.criterion = criterion
+        self.config = config
+        self.logger = logger or RunLogger(config.run_dir, use_wandb=config.use_wandb)
+        self._tx: Optional[optax.GradientTransformation] = None
+        self._train_step = None
+        self._eval_step = None
+        self.best = BestMetricTracker()
+
+    # ---- step builders -----------------------------------------------------
+
+    def _loss(self, params, x, y):
+        pred = self.model.apply(params, x)
+        cvx = self.model.cvx_coefficients(params) if hasattr(self.model, "cvx_coefficients") else {}
+        geneo = self.model.geneo_params_flat(params) if hasattr(self.model, "geneo_params_flat") else {}
+        last = getattr(self.model, "last_lambda", None)
+        loss = self.criterion(pred, y, cvx, geneo, last)
+        return loss, pred
+
+    def _build_steps(self, tx: optax.GradientTransformation):
+        cfg = self.config
+
+        @jax.jit
+        def train_step(state: TrainState, mstate: MetricState, x, y):
+            (loss, pred), grads = jax.value_and_grad(self._loss, has_aux=True)(state.params, x, y)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            mstate = update_metrics(mstate, pred, y, cfg.tau)
+            return new_state, mstate, loss, grads
+
+        @jax.jit
+        def eval_step(params, mstate: MetricState, x, y):
+            loss, pred = self._loss(params, x, y)
+            mstate = update_metrics(mstate, pred, y, cfg.tau)
+            return mstate, loss, pred
+
+        return train_step, eval_step
+
+    # ---- fit ---------------------------------------------------------------
+
+    def fit(
+        self,
+        params: Any,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+    ) -> Tuple[Any, Dict[str, float]]:
+        cfg = self.config
+        mask = self.model.trainable_mask(params) if hasattr(self.model, "trainable_mask") else None
+        tx = None
+        state, tx = create_train_state(params, cfg.optimizer, cfg.learning_rate, mask)
+        if cfg.accumulate_grad_batches > 1:
+            # rebuild with MultiSteps so updates apply every N batches
+            base = tx
+            tx = optax.MultiSteps(base, cfg.accumulate_grad_batches)
+            state = TrainState(step=state.step, params=params, opt_state=tx.init(params))
+        self._tx = tx
+        train_step, eval_step = self._build_steps(tx)
+
+        monitors = {f"train_{m}": "max" for m in METRIC_NAMES}
+        monitors["train_loss"] = "min"
+        ckpt = CheckpointManager(cfg.checkpoint_dir, monitors, top_k=cfg.checkpoint_top_k)
+        stopper = (
+            EarlyStopping(cfg.early_stop_metric, cfg.early_stop_patience)
+            if cfg.early_stop_metric
+            else None
+        )
+
+        epoch = 0
+        while cfg.max_epochs < 0 or epoch < cfg.max_epochs:
+            t0 = time.time()
+            mstate = init_metric_state()
+            losses = []
+            grad_logged = False
+            for x, y in train_loader:
+                x, y = jnp.asarray(x), jnp.asarray(y)
+                state, mstate, loss, grads = train_step(state, mstate, x, y)
+                losses.append(loss)
+                if cfg.log_gradients and not grad_logged:
+                    # one gradient snapshot per epoch (reference
+                    # lit_model_wrappers.py:207-210)
+                    flat = {
+                        f"grad/{'/'.join(map(str, [getattr(k, 'key', k) for k in path]))}": float(v)
+                        for path, v in jax.tree_util.tree_flatten_with_path(grads)[0]
+                        if np.ndim(v) == 0
+                    }
+                    self.logger.log_params(flat, int(state.step))
+                    grad_logged = True
+
+            scores = {f"train_{k}": float(v) for k, v in
+                      compute_metrics(mstate, cfg.fbeta).items()}
+            scores["train_loss"] = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            scores["epoch_time_s"] = time.time() - t0
+
+            if val_loader is not None:
+                vstate = init_metric_state()
+                vlosses = []
+                for x, y in val_loader:
+                    vstate, vloss, _ = eval_step(state.params, vstate, jnp.asarray(x), jnp.asarray(y))
+                    vlosses.append(vloss)
+                scores.update({f"val_{k}": float(v) for k, v in
+                               compute_metrics(vstate, cfg.fbeta).items()})
+                if vlosses:
+                    scores["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
+
+            # interpretable per-epoch parameter series
+            if hasattr(self.model, "parameters_in_dict"):
+                self.logger.log_params(self.model.parameters_in_dict(state.params), epoch)
+            self.logger.log_metrics(scores, epoch)
+            self.best.update(scores)
+            ckpt.step(state.params, scores, epoch)
+
+            if stopper is not None and stopper.update(scores):
+                break
+            epoch += 1
+
+        self._ckpt = ckpt
+        return state.params, self.best.best
+
+    # ---- eval / predict ------------------------------------------------------
+
+    def evaluate(self, params: Any, loader: Iterable, prefix: str = "test") -> Dict[str, float]:
+        if self._train_step is None and self._tx is None:
+            _, tx = create_train_state(params, self.config.optimizer,
+                                       self.config.learning_rate)
+            self._tx = tx
+        _, eval_step = self._build_steps(self._tx)
+        mstate = init_metric_state()
+        losses = []
+        for x, y in loader:
+            mstate, loss, _ = eval_step(params, mstate, jnp.asarray(x), jnp.asarray(y))
+            losses.append(loss)
+        scores = {f"{prefix}_{k}": float(v) for k, v in
+                  compute_metrics(mstate, self.config.fbeta).items()}
+        if losses:
+            scores[f"{prefix}_loss"] = float(jnp.mean(jnp.stack(losses)))
+        self.logger.log_metrics(scores, -1)
+        return scores
+
+    def predict(self, params: Any, loader: Iterable):
+        apply = jax.jit(self.model.apply)
+        for batch in loader:
+            x = batch[0] if isinstance(batch, (tuple, list)) else batch
+            yield np.asarray(apply(params, jnp.asarray(x)))
+
+    def restore_best(self, metric: str, template: Any) -> Any:
+        path = self._ckpt.best_path(metric)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint recorded for {metric}")
+        return restore_checkpoint(path, template)

@@ -1,0 +1,63 @@
+"""Train state + optimizer resolution (optax).
+
+Functional twin of the reference's Lightning optimizer plumbing
+(``core/lit_modules/lit_model_wrappers.py:136-148``): adam / sgd / rmsprop /
+lbfgs by name. Non-trainable parameters (each kernel's ``non_trainable``
+list and the derived last λ) are frozen with ``optax.multi_transform`` —
+the functional twin of per-parameter ``requires_grad=False``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import optax
+
+
+def resolve_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adam":
+        return optax.adam(learning_rate)
+    if name == "sgd":
+        return optax.sgd(learning_rate)
+    if name == "rmsprop":
+        return optax.rmsprop(learning_rate)
+    if name == "lbfgs":
+        # explicit lr + no linesearch keeps the standard update signature
+        # (the reference uses torch LBFGS(lr, max_iter=30))
+        return optax.lbfgs(learning_rate, linesearch=None)
+    raise NotImplementedError(f"Optimizer {name!r} not implemented")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Pure pytree carried through the jitted train step."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    def replace(self, **kw) -> "TrainState":
+        return dataclasses.replace(self, **kw)
+
+
+def create_train_state(
+    params: Any,
+    optimizer: str | optax.GradientTransformation = "adam",
+    learning_rate: float = 1e-3,
+    trainable_mask: Optional[Any] = None,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Build (state, tx). ``trainable_mask`` is a bool pytree like params."""
+    tx = optimizer if isinstance(optimizer, optax.GradientTransformation) else \
+        resolve_optimizer(optimizer, learning_rate)
+    if trainable_mask is not None:
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    import jax.numpy as jnp
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    return state, tx

@@ -1,0 +1,210 @@
+"""Data layer: transforms, datasets, loaders, LAS reader, DBSCAN, ETL."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scenenet_tpu.data import (
+    Compose,
+    PointPadding,
+    ToFullDense,
+    TS40K,
+    Voxelization,
+    VoxelLoader,
+    build_data_samples,
+    crop_tower_radius,
+    crop_tower_samples,
+    select_object,
+)
+from scenenet_tpu.data.las import read_las_xyz_class, write_las
+from scenenet_tpu.data.loader import PointCloudLoader, Subset, random_split
+from scenenet_tpu.ops.dbscan import dbscan, extract_clusters
+
+
+def _make_scene(rng, n_towers=2, n_ground=4000):
+    """Synthetic scene: flat ground + vertical tower-like clusters."""
+    ground = np.column_stack([
+        rng.uniform(0, 100, n_ground), rng.uniform(0, 100, n_ground),
+        rng.normal(0, 0.2, n_ground),
+    ])
+    ground_cls = np.full(n_ground, 2.0)
+    parts, classes = [ground], [ground_cls]
+    for t in range(n_towers):
+        cx, cy = 25 + 50 * t, 50
+        n = 400
+        tower = np.column_stack([
+            rng.normal(cx, 0.8, n), rng.normal(cy, 0.8, n), rng.uniform(0, 25, n),
+        ])
+        parts.append(tower)
+        classes.append(np.full(n, 15.0))
+    xyz = np.concatenate(parts)
+    cls = np.concatenate(classes)
+    return xyz, cls
+
+
+class TestDBSCAN:
+    def test_two_clusters_and_noise(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 0.3, (100, 3))
+        b = rng.normal(10, 0.3, (120, 3))
+        noise = np.array([[100.0, 100.0, 100.0]])
+        pts = np.concatenate([a, b, noise])
+        labels = dbscan(pts, eps=1.5, min_points=5)
+        assert labels[-1] == -1
+        assert len(set(labels[:100])) == 1
+        assert len(set(labels[100:220])) == 1
+        assert labels[0] != labels[150]
+
+    def test_matches_sklearn(self):
+        from sklearn.cluster import DBSCAN as SkDBSCAN
+
+        rng = np.random.default_rng(1)
+        pts = np.concatenate([
+            rng.normal(0, 0.5, (200, 3)),
+            rng.normal(5, 0.5, (150, 3)),
+            rng.uniform(-20, 20, (30, 3)),
+        ])
+        ours = dbscan(pts, eps=1.0, min_points=8)
+        sk = SkDBSCAN(eps=1.0, min_samples=8).fit(pts).labels_
+        # same noise set; same partition structure (up to label permutation)
+        np.testing.assert_array_equal(ours == -1, sk == -1)
+        for c in set(sk) - {-1}:
+            members = ours[sk == c]
+            core_labels = members[members >= 0]
+            assert len(set(core_labels)) == 1
+
+    def test_extract_clusters(self):
+        rng = np.random.default_rng(2)
+        pts = np.concatenate([rng.normal(0, 0.2, (50, 3)), rng.normal(8, 0.2, (60, 3))])
+        clusters = extract_clusters(pts, eps=1.0, min_points=5)
+        assert sorted(len(c) for c in clusters) == [50, 60]
+
+
+class TestCrops:
+    def test_tower_pipeline(self):
+        rng = np.random.default_rng(3)
+        xyz, cls = _make_scene(rng)
+        samples = crop_tower_samples(xyz, cls, radius=15, eps=3, min_points=50)
+        assert len(samples) == 2
+        for s in samples:
+            assert s.shape[1] == 4
+            assert (s[:, 3] == 15).sum() > 100  # contains its tower
+            # radius crop really is a radius crop
+            tower_pts = s[s[:, 3] == 15, :3]
+            center = tower_pts.mean(0)
+            d = np.linalg.norm(s[:, :2] - center[:2], axis=1)
+            assert d.max() <= 15 + 1e-6
+
+    def test_select_object(self):
+        rng = np.random.default_rng(4)
+        xyz, cls = _make_scene(rng, n_towers=1)
+        sel, sel_cls = select_object(xyz, cls, [15])
+        assert (sel_cls == 15).all()
+        assert len(sel) == (cls == 15).sum()
+
+
+class TestTransforms:
+    def test_voxelization_transform(self, small_cloud):
+        t = Voxelization([15], vxg_size=(16, 16, 16))
+        hist, reg = t((small_cloud[:, :3], small_cloud[:, 3]))
+        assert hist.shape == (1, 16, 16, 16) and reg.shape == (1, 16, 16, 16)
+        assert hist.dtype == np.float32
+
+    def test_full_dense(self, small_cloud):
+        t = Compose([Voxelization([15], vxg_size=(16, 16, 16)), ToFullDense((True, True))])
+        x, y = t((small_cloud[:, :3], small_cloud[:, 3]))
+        assert set(np.unique(x)).issubset({0.0, 1.0})
+        assert set(np.unique(y)).issubset({0.0, 1.0})
+
+    def test_point_padding(self, small_cloud):
+        t = PointPadding(max_points=4096, vxg_size=(16, 16, 16))
+        pts, labels, mask, idx = t((small_cloud[:, :3], small_cloud[:, 3]))
+        assert pts.shape == (4096, 3) and mask.sum() == min(len(small_cloud), 4096)
+        assert idx.max() < 16**3
+
+    def test_point_padding_subsamples(self):
+        rng = np.random.default_rng(0)
+        pts = rng.random((5000, 3)) * 10
+        t = PointPadding(max_points=1024, vxg_size=(8, 8, 8))
+        out_pts, _, mask, _ = t((pts, np.zeros(5000)))
+        assert mask.sum() == 1024
+
+
+class TestTS40KDataset:
+    @pytest.fixture()
+    def dataset_dir(self, tmp_path, small_cloud):
+        fit = tmp_path / "fit"
+        fit.mkdir()
+        for i in range(6):
+            np.save(fit / f"sample_{i}.npy", small_cloud)
+        # one corrupted file
+        (fit / "sample_bad.npy").write_bytes(b"not-a-npy")
+        return str(tmp_path)
+
+    def test_getitem_with_transform(self, dataset_dir):
+        t = Compose([Voxelization([15], vxg_size=(8, 8, 8)), ToFullDense()])
+        ds = TS40K(dataset_dir, split="fit", transform=t)
+        assert len(ds) == 7
+        x, y = ds[0]
+        assert x.shape == (1, 8, 8, 8)
+
+    def test_corrupted_fallback(self, dataset_dir):
+        ds = TS40K(dataset_dir, split="fit",
+                   transform=Voxelization([15], vxg_size=(8, 8, 8)))
+        # the corrupted file is sorted last; loading it must still succeed
+        bad_idx = list(ds.npy_files).index("sample_bad.npy")
+        x, y = ds[bad_idx]
+        assert x.shape == (1, 8, 8, 8)
+
+    def test_loader_batches(self, dataset_dir):
+        t = Compose([Voxelization([15], vxg_size=(8, 8, 8)), ToFullDense()])
+        ds = TS40K(dataset_dir, split="fit", transform=t)
+        loader = VoxelLoader(ds, batch_size=3, shuffle=True, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        x, y = batches[0]
+        assert x.shape == (3, 1, 8, 8, 8)
+
+    def test_random_split(self):
+        train, val = random_split(100, 0.1, seed=0)
+        assert len(train) == 90 and len(val) == 10
+        assert not set(train) & set(val)
+
+
+class TestLAS:
+    def test_roundtrip(self, tmp_path, small_cloud):
+        path = str(tmp_path / "test.las")
+        write_las(path, small_cloud[:, :3], small_cloud[:, 3].astype(np.uint8))
+        xyz, cls = read_las_xyz_class(path)
+        np.testing.assert_allclose(xyz, small_cloud[:, :3], atol=1e-3)
+        np.testing.assert_array_equal(cls, small_cloud[:, 3].astype(np.uint8))
+
+
+class TestETL:
+    def test_build_data_samples(self, tmp_path):
+        rng = np.random.default_rng(5)
+        xyz, cls = _make_scene(rng)
+        las_dir = tmp_path / "las"
+        las_dir.mkdir()
+        write_las(str(las_dir / "scene.las"), xyz, cls.astype(np.uint8))
+        save_dir = str(tmp_path / "out")
+        # note: synthetic towers are small → lower DBSCAN threshold via crop
+        import scenenet_tpu.data.ts40k as ts40k_mod
+        import scenenet_tpu.data.pcd as eda
+
+        orig = eda.extract_towers
+        eda.extract_towers = lambda x, eps=10, min_points=300: orig(x, eps=3, min_points=50)
+        try:
+            n = build_data_samples([str(las_dir)], save_dir,
+                                   data_split={"fit": 0.5, "test": 0.5})
+        finally:
+            eda.extract_towers = orig
+        assert n == 2
+        total = len(os.listdir(os.path.join(save_dir, "fit"))) + \
+            len(os.listdir(os.path.join(save_dir, "test")))
+        assert total == 2
+        # resumability: second run reads the progress file, adds nothing
+        n2 = build_data_samples([str(las_dir)], save_dir,
+                                data_split={"fit": 0.5, "test": 0.5})
+        assert n2 <= n

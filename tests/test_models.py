@@ -1,0 +1,133 @@
+"""SceneNet model family: shapes, convexity reparameterization, fused-path
+equivalence, gradient flow, baselines."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scenenet_tpu.models import CnnBaseline, QuantileSceneNet, SceneNet, SceneNetClassifier, UNet3D
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    return SceneNet.create(seed=3, kernel_size=(9, 5, 5))
+
+
+@pytest.fixture(scope="module")
+def voxel_batch():
+    rng = np.random.default_rng(0)
+    x = (rng.random((2, 1, 16, 16, 16)) > 0.9).astype(np.float32)
+    return jnp.asarray(x)
+
+
+class TestSceneNet:
+    def test_forward_shape_and_range(self, net_and_params, voxel_batch):
+        net, params = net_and_params
+        pred = net.apply(params, voxel_batch)
+        assert pred.shape == voxel_batch.shape
+        p = np.asarray(pred)
+        assert (p >= 0).all() and (p <= 1).all()  # relu∘tanh
+
+    def test_fused_equals_unfused(self, net_and_params, voxel_batch):
+        net, params = net_and_params
+        fused = net.apply(params, voxel_batch, fuse_observers=True)
+        unfused = net.apply(params, voxel_batch, fuse_observers=False)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-5)
+
+    def test_lambdas_sum_to_one(self, net_and_params):
+        net, params = net_and_params
+        lams = np.asarray(net.effective_lambdas(params))
+        assert np.isclose(lams.sum(), 1.0, atol=1e-6)
+        # stored params were synced at init too (reference SCENE_Net.py:291)
+        stored = sum(float(v) for v in params["lambdas"].values())
+        assert np.isclose(stored, 1.0, atol=1e-6)
+
+    def test_last_lambda_derived_not_read(self, net_and_params, voxel_batch):
+        net, params = net_and_params
+        # corrupting the stored last λ must not change the forward pass
+        corrupted = jax.tree.map(lambda x: x, params)
+        corrupted["lambdas"] = dict(params["lambdas"])
+        corrupted["lambdas"][net.last_lambda] = jnp.asarray(123.0)
+        a = net.apply(params, voxel_batch)
+        b = net.apply(corrupted, voxel_batch)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_trainable_mask(self, net_and_params):
+        net, params = net_and_params
+        mask = net.trainable_mask(params)
+        assert mask["lambdas"][net.last_lambda] is False
+        assert mask["geneo"]["cone_0"]["apex"] is False
+        assert mask["geneo"]["cy_0"]["radius"] is True
+        # 11 trainable / 13 total, like the reference run summary
+        flat = jax.tree.leaves(mask)
+        assert sum(flat) == 11 and len(flat) == 13
+
+    def test_gradients_flow_through_kernel_synthesis(self, net_and_params, voxel_batch):
+        net, params = net_and_params
+
+        def loss(p):
+            return jnp.mean((net.apply(p, voxel_batch) - 0.5) ** 2)
+
+        grads = jax.grad(loss)(params)
+        g_radius = float(grads["geneo"]["cy_0"]["radius"])
+        assert np.isfinite(g_radius)
+        lam_name = [n for n in net.lambda_names if n != net.last_lambda][0]
+        assert np.isfinite(float(grads["lambdas"][lam_name]))
+
+    def test_jit_and_vmap_compatible(self, net_and_params, voxel_batch):
+        net, params = net_and_params
+        jitted = jax.jit(net.apply)
+        np.testing.assert_allclose(
+            np.asarray(jitted(params, voxel_batch)),
+            np.asarray(net.apply(params, voxel_batch)),
+            atol=1e-6,
+        )
+
+    def test_v1_variant(self, voxel_batch):
+        net, params = SceneNet.create(version="v1", kernel_size=(9, 5, 5), seed=1)
+        pred = net.apply(params, voxel_batch)
+        assert pred.shape == voxel_batch.shape
+
+    def test_wider_observer_bank(self, voxel_batch):
+        net, params = SceneNet.create({"cy": 3, "cone": 2, "neg": 2},
+                                      kernel_size=(9, 5, 5), seed=2)
+        assert len(net.observers) == 7
+        pred = net.apply(params, voxel_batch)
+        assert pred.shape == voxel_batch.shape
+
+    def test_parameters_in_dict(self, net_and_params):
+        net, params = net_and_params
+        d = net.parameters_in_dict(params)
+        assert "cy_0.radius" in d and "lambda_cy_0" in d
+        lams = [v for k, v in d.items() if k.startswith("lambda")]
+        assert np.isclose(sum(lams), 1.0, atol=1e-6)
+
+
+class TestVariants:
+    def test_quantile_ensemble(self, voxel_batch):
+        model, params = QuantileSceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        pred = model.apply(params, voxel_batch)
+        assert pred.shape == (2, 3, 16, 16, 16)
+
+    def test_classifier_hard_output(self, voxel_batch):
+        model, params = SceneNetClassifier.create(kernel_size=(9, 5, 5), seed=0)
+        out = np.asarray(model.apply(params, voxel_batch))
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+    def test_cnn_baseline(self, voxel_batch):
+        model, params = CnnBaseline.create(conv_num=2, kernel_size=(5, 5, 5),
+                                           input_shape=(1, 1, 16, 16, 16))
+        pred = model.apply(params, voxel_batch)
+        assert pred.shape == voxel_batch.shape
+        assert model.cvx_coefficients(params) == {}
+
+    def test_unet3d(self, voxel_batch):
+        model, variables = UNet3D.create(input_shape=(1, 1, 16, 16, 16))
+        pred = model.apply(variables, voxel_batch)
+        assert pred.shape == voxel_batch.shape
+        p = np.asarray(pred)
+        assert (p >= 0).all() and (p <= 1).all()  # sigmoid
+        pred_t, updates = model.apply(variables, voxel_batch, train=True)
+        assert "batch_stats" in updates

@@ -1,0 +1,186 @@
+"""Training runtime: metrics parity, state/optimizers, checkpoints,
+callbacks, and a 2-epoch end-to-end fit smoke on synthetic voxels."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import SceneNet
+from scenenet_tpu.train import (
+    BestMetricTracker,
+    CheckpointManager,
+    EarlyStopping,
+    TrainConfig,
+    Trainer,
+    compute_metrics,
+    init_metric_state,
+    restore_checkpoint,
+    save_checkpoint,
+    update_metrics,
+)
+from scenenet_tpu.train.state import create_train_state, resolve_optimizer
+
+
+class TestMetrics:
+    def test_against_sklearn(self):
+        from sklearn.metrics import f1_score, jaccard_score, precision_score, recall_score
+
+        rng = np.random.default_rng(0)
+        pred = rng.random(5000).astype(np.float32)
+        gt = (rng.random(5000) > 0.9).astype(np.float32)
+        state = update_metrics(init_metric_state(), jnp.asarray(pred), jnp.asarray(gt), 0.65)
+        m = {k: float(v) for k, v in compute_metrics(state, beta=0.5).items()}
+
+        hard = (pred >= 0.65).astype(int)
+        assert m["Precision"] == pytest.approx(precision_score(gt, hard), abs=1e-6)
+        assert m["Recall"] == pytest.approx(recall_score(gt, hard), abs=1e-6)
+        assert m["F1Score"] == pytest.approx(f1_score(gt, hard), abs=1e-6)
+        # torchmetrics JaccardIndex(num_classes=2) = macro IoU over classes
+        macro_iou = jaccard_score(gt, hard, average="macro")
+        assert m["JaccardIndex"] == pytest.approx(macro_iou, abs=1e-6)
+
+    def test_accumulation_across_batches(self):
+        rng = np.random.default_rng(1)
+        pred = rng.random(1000).astype(np.float32)
+        gt = (rng.random(1000) > 0.8).astype(np.float32)
+        whole = update_metrics(init_metric_state(), jnp.asarray(pred), jnp.asarray(gt))
+        split = init_metric_state()
+        for i in range(0, 1000, 100):
+            split = update_metrics(split, jnp.asarray(pred[i:i+100]), jnp.asarray(gt[i:i+100]))
+        for a, b in zip(whole, split):
+            assert int(a) == int(b)
+
+    def test_empty_positive_class(self):
+        state = update_metrics(init_metric_state(), jnp.zeros(100), jnp.zeros(100))
+        m = compute_metrics(state)
+        assert float(m["Precision"]) == 0.0
+        assert float(m["JaccardIndex"]) == pytest.approx(0.5)  # bg IoU=1, pos absent=0
+
+
+class TestStateAndOptim:
+    @pytest.mark.parametrize("name", ["adam", "sgd", "rmsprop", "lbfgs"])
+    def test_resolve(self, name):
+        tx = resolve_optimizer(name, 1e-2)
+        params = {"a": jnp.ones(3)}
+        state = tx.init(params)
+        grads = {"a": jnp.ones(3)}
+        updates, _ = tx.update(grads, state, params)
+        assert jnp.isfinite(updates["a"]).all()
+
+    def test_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            resolve_optimizer("adamw2", 1e-3)
+
+    def test_frozen_params_stay_frozen(self):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        state, tx = create_train_state(params, "sgd", 0.1, net.trainable_mask(params))
+        grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+        import optax
+
+        updates, _ = tx.update(grads, state.opt_state, params)
+        new = optax.apply_updates(params, updates)
+        # frozen: apex + last lambda unchanged
+        assert float(new["geneo"]["cone_0"]["apex"]) == float(params["geneo"]["cone_0"]["apex"])
+        assert float(new["lambdas"][net.last_lambda]) == float(params["lambdas"][net.last_lambda])
+        # trainable: radius moved
+        assert float(new["geneo"]["cy_0"]["radius"]) != float(params["geneo"]["cy_0"]["radius"])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        path = str(tmp_path / "ckpt.npz")
+        save_checkpoint(path, params, {"step": 3})
+        zeroed = jax.tree.map(lambda p: jnp.zeros_like(p), params)
+        restored = restore_checkpoint(path, zeroed)
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_topk_manager(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), {"train_F1Score": "max"}, top_k=2)
+        tree = {"w": jnp.ones(2)}
+        for step, score in enumerate([0.1, 0.3, 0.2, 0.5]):
+            mgr.step(tree, {"train_F1Score": score}, step)
+        assert mgr.best_score("train_F1Score") == pytest.approx(0.5)
+        kept = [f for f in os.listdir(tmp_path) if f.startswith("train_F1Score")]
+        assert len([f for f in kept if f.endswith(".npz")]) == 2  # top-2 retention
+        # best checkpoint restorable
+        best = restore_checkpoint(mgr.best_path("train_F1Score"), {"w": jnp.zeros(2)})
+        np.testing.assert_allclose(np.asarray(best["w"]), 1.0)
+
+
+class TestCallbacks:
+    def test_early_stopping(self):
+        es = EarlyStopping("val_F1Score", patience=2, mode="max")
+        assert not es.update({"val_F1Score": 0.5})
+        assert not es.update({"val_F1Score": 0.4})
+        assert es.update({"val_F1Score": 0.45})  # second epoch without improvement
+
+    def test_best_tracker(self):
+        bt = BestMetricTracker()
+        bt.update({"train_loss": 1.0, "val_F1Score": 0.2})
+        bt.update({"train_loss": 0.5, "val_F1Score": 0.1})
+        assert bt.best["train_loss"] == 0.5
+        assert bt.best["val_F1Score"] == 0.2
+
+
+def _toy_batches(n_batches=3, batch=2, grid=12, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_batches):
+        x = (rng.random((batch, 1, grid, grid, grid)) > 0.9).astype(np.float32)
+        y = (rng.random((batch, 1, grid, grid, grid)) > 0.97).astype(np.float32)
+        out.append((x, y))
+    return out
+
+
+class TestEndToEndFit:
+    def test_two_epoch_fit_smoke(self, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("geneo_tversky")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4,
+        )
+        cfg = TrainConfig(
+            max_epochs=2, optimizer="adam", learning_rate=1e-2,
+            checkpoint_dir=str(tmp_path / "ckpt"), run_dir=str(tmp_path / "run"),
+            early_stop_metric=None,
+        )
+        trainer = Trainer(net, crit, cfg)
+        batches = _toy_batches()
+        final_params, best = trainer.fit(params, batches, val_loader=batches[:1])
+
+        # params actually moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(final_params), jax.tree.leaves(params))
+        )
+        assert moved
+        assert "train_loss" in best and np.isfinite(best["train_loss"])
+        # logs + checkpoints on disk
+        assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+        assert os.path.exists(tmp_path / "run" / "params.jsonl")
+        assert os.path.exists(tmp_path / "ckpt" / "last.npz")
+        # evaluate + predict paths
+        scores = trainer.evaluate(final_params, batches[:1], prefix="test")
+        assert "test_F1Score" in scores
+        preds = list(trainer.predict(final_params, batches[:1]))
+        assert preds[0].shape == (2, 1, 12, 12, 12)
+        # best-checkpoint restore
+        restored = trainer.restore_best("train_loss", final_params)
+        assert jax.tree.structure(restored) == jax.tree.structure(final_params)
+
+    def test_grad_accumulation(self, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("mse")()
+        cfg = TrainConfig(max_epochs=1, accumulate_grad_batches=2,
+                          checkpoint_dir=str(tmp_path / "c"), run_dir=str(tmp_path / "r"),
+                          early_stop_metric=None)
+        trainer = Trainer(net, crit, cfg)
+        final_params, best = trainer.fit(params, _toy_batches(4))
+        assert np.isfinite(best["train_loss"])
