@@ -1,0 +1,146 @@
+"""Train + test entry point.
+
+Twin of the reference ``scripts/main.py``: builds criterion → model → data
+→ trainer from a YAML config, fits with per-metric checkpointing and early
+stopping, then tests with the best checkpoint. Sweep mode
+(``--sweep sweep.yaml --sweep-runs N``) random-searches the spec and
+reports the best run by ``val_FBetaScore`` (reference ``sweep_config.yml``).
+
+Usage:
+    python -m scenenet_tpu.cli.train --config experiments/defaults.yaml \
+        [--set key=value ...] [--sweep sweep.yaml --sweep-runs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+from typing import Dict, Optional
+
+from scenenet_tpu.data import TS40K, Compose, ToFullDense, Voxelization
+from scenenet_tpu.data.loader import Subset, VoxelLoader, random_split
+from scenenet_tpu.data.semantic_kitti import SemanticKITTICrops
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import CnnBaseline, SceneNet, UNet3D
+from scenenet_tpu.train import TrainConfig, Trainer
+from scenenet_tpu.train.checkpoint import restore_checkpoint
+from scenenet_tpu.utils.config import ExperimentConfig, load_config, sample_sweep
+from scenenet_tpu.utils.seeding import fix_randomness
+
+
+def build_criterion(cfg: ExperimentConfig):
+    return resolve_criterion(cfg.criterion)(**cfg.criterion_params())
+
+
+def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
+    seed = cfg.seed if seed is None else seed
+    if cfg.model == "scenenet":
+        return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed)
+    if cfg.model == "cnn":
+        return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
+                                  input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))
+    if cfg.model == "unet":
+        return UNet3D.create(seed=seed, input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))
+    raise NotImplementedError(f"model {cfg.model!r}")
+
+
+def build_datasets(cfg: ExperimentConfig):
+    transform = Compose([
+        Voxelization(list(cfg.keep_labels), vox_size=cfg.voxel_size,
+                     vxg_size=cfg.voxel_grid_size),
+        ToFullDense((True, True)),
+    ])
+    if cfg.dataset == "ts40k":
+        fit = TS40K(cfg.data_path, split="fit", transform=transform)
+        test = TS40K(cfg.data_path, split="test", transform=transform)
+    elif cfg.dataset == "semantic_kitti":
+        fit = SemanticKITTICrops(cfg.data_path, split="train", transform=transform)
+        test = SemanticKITTICrops(cfg.data_path, split="test", transform=transform)
+    else:
+        raise NotImplementedError(f"dataset {cfg.dataset!r}")
+    train_idx, val_idx = random_split(len(fit), cfg.val_split, seed=cfg.seed)
+    return Subset(fit, train_idx), Subset(fit, val_idx), test
+
+
+def run(cfg: ExperimentConfig) -> Dict[str, float]:
+    fix_randomness(cfg.seed)
+    run_dir = os.path.join(cfg.output_dir, cfg.project)
+    ckpt_dir = cfg.checkpoint_dir or os.path.join(run_dir, "checkpoints")
+
+    criterion = build_criterion(cfg)
+    model, params = build_model(cfg)
+    if cfg.resume_from_checkpoint:
+        ckpt_path = os.path.join(ckpt_dir, cfg.resume_checkpoint_name + ".npz")
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError(f"Checkpoint {ckpt_path} does not exist.")
+        params = restore_checkpoint(ckpt_path, params)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    train_loader = VoxelLoader(train_ds, cfg.batch_size, shuffle=True,
+                               num_workers=cfg.num_workers, seed=cfg.seed)
+    val_loader = VoxelLoader(val_ds, cfg.batch_size, num_workers=cfg.num_workers)
+    test_loader = VoxelLoader(test_ds, cfg.batch_size, num_workers=cfg.num_workers)
+
+    tcfg = TrainConfig(
+        max_epochs=cfg.max_epochs,
+        optimizer=cfg.optimizer,
+        learning_rate=cfg.learning_rate,
+        tau=cfg.tau,
+        accumulate_grad_batches=cfg.accumulate_grad_batches,
+        early_stop_metric=cfg.early_stop_metric,
+        early_stop_patience=cfg.early_stop_patience,
+        checkpoint_dir=ckpt_dir,
+        checkpoint_top_k=cfg.checkpoint_top_k,
+        run_dir=run_dir,
+        use_wandb=cfg.use_wandb,
+    )
+    trainer = Trainer(model, criterion, tcfg)
+    final_params, best = trainer.fit(params, train_loader,
+                                     val_loader if len(val_ds) else None)
+
+    print(f"{'=' * 20} best scores {'=' * 20}")
+    for k, v in sorted(best.items()):
+        print(f"  {k}: {v:.4f}")
+
+    test_scores = trainer.evaluate(final_params, test_loader, prefix="test")
+    for k, v in sorted(test_scores.items()):
+        print(f"  {k}: {v:.4f}")
+    return {**best, **test_scores}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train SCENE-Net (TPU)")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="config overrides key=value")
+    parser.add_argument("--sweep", type=str, default=None,
+                        help="wandb-style sweep spec (random search)")
+    parser.add_argument("--sweep-runs", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    overrides = {}
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        try:
+            overrides[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            overrides[key] = val
+
+    if args.sweep:
+        best_score, best_cfg = -1.0, None
+        for i, draw in enumerate(sample_sweep(args.sweep, args.sweep_runs)):
+            cfg = load_config(args.config, {**draw, **overrides})
+            cfg.project = f"{cfg.project}_sweep{i}"
+            scores = run(cfg)
+            score = scores.get("val_FBetaScore", scores.get("train_FBetaScore", 0.0))
+            print(f"[sweep {i}] val_FBetaScore={score:.4f} draw={draw}")
+            if score > best_score:
+                best_score, best_cfg = score, draw
+        print(f"[sweep] best val_FBetaScore={best_score:.4f} with {best_cfg}")
+    else:
+        run(load_config(args.config, overrides))
+
+
+if __name__ == "__main__":
+    main()

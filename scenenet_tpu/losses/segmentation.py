@@ -10,9 +10,10 @@ Functional twins of the reference criteria:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from scenenet_tpu.losses.weighted_mse import WeightedMSE
 
@@ -27,10 +28,16 @@ def binary_cross_entropy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -(target * logp + (1.0 - target) * log1mp)
 
 
-def _tversky_index(pred, target, alpha, beta, smooth):
+def _tversky_index(pred, target, alpha, beta, smooth, axis_names: Tuple[str, ...] = ()):
+    """Global Tversky index. Under sharding (``axis_names`` set, called
+    inside shard_map) the TP/FP/FN sums are psum'd over the mesh axes so the
+    index is computed on *global* counts — a mean of per-shard ratios would
+    be a different (wrong) loss."""
     tp = jnp.sum(pred * target)
     fp = jnp.sum((1.0 - target) * pred)
     fn = jnp.sum(target * (1.0 - pred))
+    if axis_names:
+        tp, fp, fn = (lax.psum(v, axis_names) for v in (tp, fp, fn))
     return (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
 
 
@@ -41,10 +48,12 @@ class TverskyLoss:
     tversky_alpha: float = 0.5
     tversky_beta: float = 1.0
     tversky_smooth: float = 1.0
+    axis_names: Tuple[str, ...] = ()
 
     def __call__(self, pred, target, *_args, **_kw):
         return 1.0 - _tversky_index(
-            pred, target, self.tversky_alpha, self.tversky_beta, self.tversky_smooth
+            pred, target, self.tversky_alpha, self.tversky_beta,
+            self.tversky_smooth, self.axis_names
         )
 
 
@@ -56,10 +65,12 @@ class FocalTverskyLoss:
     tversky_beta: float = 1.0
     focal_gamma: float = 2.0
     tversky_smooth: float = 1.0
+    axis_names: Tuple[str, ...] = ()
 
     def __call__(self, pred, target, *_args, **_kw):
         t = _tversky_index(
-            pred, target, self.tversky_alpha, self.tversky_beta, self.tversky_smooth
+            pred, target, self.tversky_alpha, self.tversky_beta,
+            self.tversky_smooth, self.axis_names
         )
         return (1.0 - t) ** self.focal_gamma
 

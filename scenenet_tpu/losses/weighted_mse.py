@@ -53,13 +53,18 @@ def hist_frequency_estimation(y: np.ndarray, hist_len: int = 10) -> Tuple[np.nda
 
 @dataclasses.dataclass(frozen=True)
 class WeightedMSE:
-    """``mean(mse_weight · w(gt) · (gt − pred)²)`` with histogram weights."""
+    """``mean(mse_weight · w(gt) · (gt − pred)²)`` with histogram weights.
+
+    ``axis_names`` (when called inside shard_map over equal shards) makes
+    the weight normalization and the final mean *global* via pmean.
+    """
 
     freqs: Tuple[int, ...]
     ranges: Tuple[float, ...]
     weight_alpha: float = 1.0
     weight_epsilon: float = 0.1
     mse_weight: float = 1.0
+    axis_names: Tuple[str, ...] = ()
 
     @classmethod
     def create(
@@ -106,11 +111,17 @@ class WeightedMSE:
         """Per-target weights, normalized to mean 1 (``w_mse.py:134-145``)."""
         dens = self.dens_target(y)
         w = jnp.maximum(1.0 - self.weight_alpha * dens, self.weight_epsilon)
-        return w / jnp.mean(w)
+        mean_w = jnp.mean(w)
+        if self.axis_names:
+            mean_w = jax.lax.pmean(mean_w, self.axis_names)
+        return w / mean_w
 
     # ---- loss ------------------------------------------------------------
 
     def __call__(self, pred: jnp.ndarray, gt: jnp.ndarray, *_args, **_kw) -> jnp.ndarray:
         pred, gt = jnp.broadcast_arrays(pred, gt)
         w = self.weight_target(gt)
-        return jnp.mean(self.mse_weight * w * (gt - pred) ** 2)
+        loss = jnp.mean(self.mse_weight * w * (gt - pred) ** 2)
+        if self.axis_names:
+            loss = jax.lax.pmean(loss, self.axis_names)
+        return loss

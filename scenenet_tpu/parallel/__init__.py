@@ -1,0 +1,18 @@
+from scenenet_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from scenenet_tpu.parallel.spatial import halo_conv3d, spatial_scenenet_forward
+from scenenet_tpu.parallel.dp import (
+    make_dp_inference_fn,
+    make_sharded_train_step,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "halo_conv3d",
+    "spatial_scenenet_forward",
+    "make_dp_inference_fn",
+    "make_sharded_train_step",
+    "shard_batch",
+]

@@ -1,0 +1,147 @@
+"""Mesh-parallel execution: data-parallel + spatially-sharded training.
+
+TPU-native replacement for the reference's implicit Lightning-DDP/NCCL
+scale-out (``scripts/main.py:228``, SURVEY.md §5.8): a ``shard_map`` train
+step over a (data, space) mesh where
+
+- the batch is sharded over ``data`` (classic DP),
+- the voxel grid's Z axis is sharded over ``space`` with halo-exchange
+  convolution (:mod:`scenenet_tpu.parallel.spatial`),
+- gradients are ``pmean``-reduced over both axes (the psum XLA would emit
+  for DDP, placed explicitly), and
+- global-sum losses (Tversky) psum their statistics so the loss equals the
+  unsharded one (equal shard sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
+from scenenet_tpu.train.metrics import MetricState, update_metrics
+from scenenet_tpu.train.state import TrainState
+
+
+def make_distributed(criterion: Any, axes: Tuple[str, ...]) -> Any:
+    """Recursively set ``axis_names`` on a (frozen dataclass) criterion and
+    its nested sub-criteria so global sums/means run over the mesh."""
+    if not dataclasses.is_dataclass(criterion):
+        return criterion
+    changes = {}
+    for f in dataclasses.fields(criterion):
+        val = getattr(criterion, f.name)
+        if f.name == "axis_names":
+            changes[f.name] = tuple(axes)
+        elif dataclasses.is_dataclass(val) and not isinstance(val, type):
+            changes[f.name] = make_distributed(val, axes)
+    return dataclasses.replace(criterion, **changes) if changes else criterion
+
+
+def shard_batch(batch, mesh: Mesh, batch_axis: str = "data",
+                space_axis: str | None = None):
+    """Place a host (x, y) voxel batch onto the mesh."""
+    spec = P(batch_axis, None, space_axis, None, None)
+    sharding = NamedSharding(mesh, spec)
+    return tuple(jax.device_put(jnp.asarray(b), sharding) for b in batch)
+
+
+def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None) -> Callable:
+    """jit'd forward with the batch sharded over ``data`` (and optionally Z
+    over ``space``): XLA/GSPMD partitions the conv automatically for pure
+    DP; with a space axis we run the explicit halo-exchange forward."""
+    if space_axis is None:
+        in_sharding = NamedSharding(mesh, P("data", None, None, None, None))
+
+        @jax.jit
+        def forward(params, x):
+            return model.apply(params, x)
+
+        def run(params, x):
+            x = jax.device_put(jnp.asarray(x), in_sharding)
+            return forward(params, x)
+
+        return run
+
+    fwd = shard_map(
+        lambda params, x: spatial_scenenet_forward(model, params, x, space_axis),
+        mesh=mesh,
+        in_specs=(P(), P("data", None, space_axis, None, None)),
+        out_specs=P("data", None, space_axis, None, None),
+    )
+    jit_fwd = jax.jit(fwd)
+
+    def run(params, x):
+        x = jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P("data", None, space_axis, None, None))
+        )
+        return jit_fwd(params, x)
+
+    return run
+
+
+def make_sharded_train_step(
+    model,
+    criterion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    space_axis: str = "space",
+) -> Callable:
+    """Full (DP × spatial) train step: returns jit'd
+    ``step(state, mstate, x, y) -> (state, mstate, loss)`` where x/y are
+    (B, 1, Z, X, Y) host arrays; sharding is applied inside.
+    """
+    axes = (batch_axis, space_axis)
+    dist_criterion = make_distributed(criterion, axes)
+    last = getattr(model, "last_lambda", None)
+
+    def local_step(state: TrainState, mstate: MetricState, x, y):
+        def loss_fn(params):
+            pred = spatial_scenenet_forward(model, params, x, space_axis)
+            cvx = model.cvx_coefficients(params)
+            geneo = model.geneo_params_flat(params)
+            return dist_criterion(pred, y, cvx, geneo, last), pred
+
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # DDP gradient reduction (explicit psum/pmean over the mesh);
+        # the pmean of the loss is an identity for distributed criteria
+        # (already globally reduced) and a sane fallback otherwise
+        grads = lax.pmean(grads, axes)
+        loss = lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+        # accumulate only this batch's (globally psum'd) confusion delta —
+        # the carried mstate is already replicated/global
+        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+        delta = update_metrics(zero, pred, y, tau)
+        delta = MetricState(*(lax.psum(v, axes) for v in delta))
+        mstate = MetricState(*(a + d for a, d in zip(mstate, delta)))
+        return new_state, mstate, loss
+
+    batch_spec = P(batch_axis, None, space_axis, None, None)
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_spec, batch_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    jit_step = jax.jit(sharded)
+    sharding = NamedSharding(mesh, batch_spec)
+
+    def step(state, mstate, x, y):
+        x = jax.device_put(jnp.asarray(x), sharding)
+        y = jax.device_put(jnp.asarray(y), sharding)
+        return jit_step(state, mstate, x, y)
+
+    return step

@@ -1,0 +1,163 @@
+"""Typed experiment configuration (YAML) + random-search sweeps.
+
+Replaces the reference's wandb.config authority (SURVEY.md §5.6): a single
+dataclass covers the full key surface of
+``experiments/scenenet_ts40k/defaults_config.yml``; YAML files may be flat
+(``key: value``) or wandb-style (``key: {value: ...}``). Tuples may be
+written as YAML lists or as the reference's stringified tuples
+(``"(9, 5, 5)"`` — parsed with ``ast.literal_eval``, reference
+``main.py:127,136-137``).
+
+Sweeps: :func:`sample_sweep` draws configs from a wandb-style sweep spec
+(``method: random``, ``parameters: {key: {values: [...]}}}`` or
+``{min:, max:}`` — reference ``sweep_config.yml``).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import random
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # experiment
+    project: str = "scenenet_ts40k"
+    output_dir: str = "experiments/outputs"
+    seed: int = 0
+
+    # dataset
+    dataset: str = "ts40k"
+    data_path: str = ""
+    batch_size: int = 4
+    voxel_grid_size: Tuple[int, int, int] = (64, 64, 64)
+    voxel_size: Optional[Tuple[float, float, float]] = None
+    num_workers: int = 8
+    val_split: float = 0.1
+    test_split: float = 0.3
+    keep_labels: Tuple[int, ...] = (15,)
+    device_voxelization: bool = True   # TPU path; False = host-oracle path
+    max_points: int = 65536
+
+    # model
+    model: str = "scenenet"
+    cylinder_geneo: int = 1
+    arrow_geneo: int = 1
+    neg_sphere_geneo: int = 1
+    kernel_size: Tuple[int, int, int] = (9, 5, 5)
+
+    # training
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    max_epochs: int = 20
+    early_stop_metric: Optional[str] = "train_FBetaScore"
+    early_stop_patience: int = 25
+    accumulate_grad_batches: int = 1
+    tau: float = 0.65
+
+    # criterion
+    criterion: str = "geneo_tversky"
+    weighting_scheme_path: Optional[str] = None  # None → bundled fixture
+    weight_alpha: float = 1.0
+    weight_epsilon: float = 0.1
+    mse_weight: float = 1.0
+    convex_weight: float = 5.0
+    tversky_alpha: float = 2.0
+    tversky_beta: float = 1.0
+    tversky_smooth: float = 1e-6
+    focal_gamma: float = 4.0
+
+    # checkpoints / resume
+    checkpoint_dir: str = ""
+    checkpoint_top_k: int = 2
+    resume_from_checkpoint: bool = False
+    resume_checkpoint_name: str = "last"
+
+    # parallel
+    mesh_data: int = 1
+    mesh_space: int = 1
+
+    # logging
+    use_wandb: bool = False
+
+    def criterion_params(self) -> Dict[str, Any]:
+        return {
+            "weighting_scheme_path": self.weighting_scheme_path,
+            "weight_alpha": self.weight_alpha,
+            "weight_epsilon": self.weight_epsilon,
+            "mse_weight": self.mse_weight,
+            "convex_weight": self.convex_weight,
+            "tversky_alpha": self.tversky_alpha,
+            "tversky_beta": self.tversky_beta,
+            "tversky_smooth": self.tversky_smooth,
+            "focal_gamma": self.focal_gamma,
+        }
+
+    def geneo_num(self) -> Dict[str, int]:
+        return {
+            "cy": self.cylinder_geneo,
+            "cone": self.arrow_geneo,
+            "neg": self.neg_sphere_geneo,
+        }
+
+
+_TUPLE_FIELDS = {"voxel_grid_size", "voxel_size", "kernel_size", "keep_labels"}
+
+
+def _coerce(name: str, value: Any) -> Any:
+    if name in _TUPLE_FIELDS:
+        if value is None or value == "None":
+            return None
+        if isinstance(value, str):
+            value = ast.literal_eval(value)
+        return tuple(value)
+    if isinstance(value, str) and value == "None":
+        return None
+    return value
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict] = None) -> ExperimentConfig:
+    raw: Dict[str, Any] = {}
+    if path:
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        for key, val in doc.items():
+            if isinstance(val, dict) and set(val) == {"value"}:
+                val = val["value"]  # wandb defaults format
+            raw[key] = val
+    if overrides:
+        raw.update(overrides)
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    known = {k: _coerce(k, v) for k, v in raw.items() if k in fields}
+    unknown = set(raw) - fields
+    if unknown:
+        print(f"[config] ignoring unknown keys: {sorted(unknown)}")
+    return ExperimentConfig(**known)
+
+
+def sample_sweep(sweep_path: str, n: int, seed: int = 0) -> List[Dict[str, Any]]:
+    """Draw ``n`` override dicts from a wandb-style random sweep spec."""
+    with open(sweep_path) as f:
+        spec = yaml.safe_load(f)
+    params = spec.get("parameters", {})
+    rng = random.Random(seed)
+    draws = []
+    for _ in range(n):
+        cfg = {}
+        for key, dist in params.items():
+            if "values" in dist:
+                cfg[key] = rng.choice(dist["values"])
+            elif "min" in dist and "max" in dist:
+                lo, hi = dist["min"], dist["max"]
+                if isinstance(lo, int) and isinstance(hi, int):
+                    cfg[key] = rng.randint(lo, hi)
+                else:
+                    cfg[key] = rng.uniform(lo, hi)
+            elif "value" in dist:
+                cfg[key] = dist["value"]
+        draws.append(cfg)
+    return draws

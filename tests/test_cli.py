@@ -1,0 +1,95 @@
+"""CLI + config system: end-to-end train/test run on a tiny synthetic
+TS40K-style dataset, config parsing, sweep sampling, visualize export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scenenet_tpu.utils.config import ExperimentConfig, load_config, sample_sweep
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ts40k")
+    rng = np.random.default_rng(0)
+    for split, n in [("fit", 6), ("test", 2)]:
+        (root / split).mkdir()
+        for i in range(n):
+            m = int(rng.integers(2000, 4000))
+            xyz = rng.uniform([0, 0, 0], [30, 30, 60], (m, 3))
+            labels = rng.choice([1, 2, 15], size=m, p=[0.5, 0.35, 0.15])
+            np.save(root / split / f"sample_{i}.npy",
+                    np.concatenate([xyz, labels[:, None]], axis=1))
+    return str(root)
+
+
+class TestConfig:
+    def test_defaults_yaml_parses(self):
+        cfg = load_config("experiments/defaults.yaml")
+        assert cfg.kernel_size == (9, 5, 5)
+        assert cfg.voxel_size is None
+        assert cfg.criterion == "geneo_tversky"
+        assert cfg.tversky_smooth == pytest.approx(1e-6)
+
+    def test_wandb_value_format(self, tmp_path):
+        p = tmp_path / "cfg.yaml"
+        p.write_text("batch_size:\n  value: 7\nkernel_size:\n  value: (3, 3, 3)\n")
+        cfg = load_config(str(p))
+        assert cfg.batch_size == 7 and cfg.kernel_size == (3, 3, 3)
+
+    def test_overrides_win(self):
+        cfg = load_config("experiments/defaults.yaml", {"batch_size": 2})
+        assert cfg.batch_size == 2
+
+    def test_sweep_sampling(self):
+        draws = sample_sweep("experiments/sweep.yaml", 5, seed=1)
+        assert len(draws) == 5
+        for d in draws:
+            assert d["optimizer"] in ("adam", "sgd", "rmsprop")
+            assert 1.0 <= d["convex_weight"] <= 10.0
+
+
+class TestTrainCLI:
+    def test_end_to_end_train_and_test(self, tiny_dataset, tmp_path):
+        from scenenet_tpu.cli.train import run
+
+        cfg = ExperimentConfig(
+            data_path=tiny_dataset,
+            output_dir=str(tmp_path),
+            batch_size=2,
+            voxel_grid_size=(16, 16, 16),
+            kernel_size=(9, 5, 5),
+            max_epochs=2,
+            num_workers=2,
+            early_stop_metric=None,
+            val_split=0.34,
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+        assert "test_F1Score" in scores
+        ckpt_dir = os.path.join(str(tmp_path), "scenenet_ts40k", "checkpoints")
+        assert os.path.exists(os.path.join(ckpt_dir, "last.npz"))
+
+    def test_visualize_cli(self, tiny_dataset, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.cli import visualize
+
+        cfg_yaml = tmp_path / "cfg.yaml"
+        cfg_yaml.write_text(
+            f"data_path: {tiny_dataset}\n"
+            f"output_dir: {tmp_path}\n"
+            "batch_size: 2\nvoxel_grid_size: (16, 16, 16)\n"
+            "max_epochs: 1\nnum_workers: 1\nearly_stop_metric: None\n"
+            "val_split: 0.34\n"
+        )
+        run(load_config(str(cfg_yaml)))
+        ckpt = os.path.join(str(tmp_path), "scenenet_ts40k", "checkpoints", "last.npz")
+        out = str(tmp_path / "viz")
+        visualize.main(["--config", str(cfg_yaml), "--checkpoint", ckpt,
+                        "--out", out, "--n", "1"])
+        assert os.path.exists(os.path.join(out, "sample0_pred.ply"))
+        with open(os.path.join(out, "summary.json")) as f:
+            summary = json.load(f)
+        assert summary[0]["gt_voxels"] > 0

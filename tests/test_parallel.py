@@ -1,0 +1,156 @@
+"""Mesh parallelism on the virtual 8-device CPU mesh: halo-exchange conv
+correctness vs unsharded, DP inference, full sharded train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import SceneNet
+from scenenet_tpu.ops.conv3d import conv3d_same
+from scenenet_tpu.parallel import (
+    halo_conv3d,
+    make_dp_inference_fn,
+    make_mesh,
+    make_sharded_train_step,
+    spatial_scenenet_forward,
+)
+from scenenet_tpu.parallel.dp import make_distributed
+from scenenet_tpu.train.metrics import compute_metrics, init_metric_state, update_metrics
+from scenenet_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    assert len(jax.devices()) == 8
+    return jax.devices()
+
+
+class TestHaloConv:
+    @pytest.mark.parametrize("kz", [1, 3, 9])
+    @pytest.mark.parametrize("n_space", [2, 4])
+    def test_matches_unsharded(self, devices8, kz, n_space):
+        mesh = make_mesh((1, n_space), devices=devices8[:n_space])
+        rng = np.random.default_rng(0)
+        x = rng.random((2, 1, 32, 8, 8)).astype(np.float32)
+        kernels = rng.random((1, 1, kz, 5, 5)).astype(np.float32)
+
+        ref = conv3d_same(jnp.asarray(x), jnp.asarray(kernels))
+
+        fn = shard_map(
+            lambda xs: halo_conv3d(xs, jnp.asarray(kernels), "space"),
+            mesh=mesh,
+            in_specs=P(None, None, "space", None, None),
+            out_specs=P(None, None, "space", None, None),
+        )
+        xs = jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P(None, None, "space", None, None))
+        )
+        out = fn(xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_scenenet_spatial_forward_matches(self, devices8):
+        mesh = make_mesh((1, 4), devices=devices8[:4])
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        rng = np.random.default_rng(1)
+        x = (rng.random((2, 1, 32, 16, 16)) > 0.9).astype(np.float32)
+        ref = net.apply(params, jnp.asarray(x))
+
+        fn = shard_map(
+            lambda p, xs: spatial_scenenet_forward(net, p, xs, "space"),
+            mesh=mesh,
+            in_specs=(P(), P(None, None, "space", None, None)),
+            out_specs=P(None, None, "space", None, None),
+        )
+        xs = jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, P(None, None, "space", None, None))
+        )
+        out = fn(params, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestDPInference:
+    def test_pure_dp(self, devices8):
+        mesh = make_mesh((8, 1), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        run = make_dp_inference_fn(net, mesh)
+        rng = np.random.default_rng(2)
+        x = (rng.random((16, 1, 16, 16, 16)) > 0.9).astype(np.float32)
+        out = run(params, x)
+        ref = net.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_dp_plus_spatial(self, devices8):
+        mesh = make_mesh((2, 4), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        run = make_dp_inference_fn(net, mesh, space_axis="space")
+        rng = np.random.default_rng(3)
+        x = (rng.random((4, 1, 32, 16, 16)) > 0.9).astype(np.float32)
+        out = run(params, x)
+        ref = net.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestShardedTrainStep:
+    def _criterion(self):
+        return resolve_criterion("geneo_tversky")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4,
+        )
+
+    def test_make_distributed_sets_axes(self):
+        crit = self._criterion()
+        dist = make_distributed(crit, ("data", "space"))
+        assert dist.w_mse.axis_names == ("data", "space")
+        assert dist.tversky.axis_names == ("data", "space")
+
+    def test_step_runs_and_matches_single_device_loss(self, devices8):
+        mesh = make_mesh((2, 4), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = self._criterion()
+        state, tx = create_train_state(params, "sgd", 1e-2, net.trainable_mask(params))
+        step = make_sharded_train_step(net, crit, tx, mesh)
+
+        rng = np.random.default_rng(4)
+        x = (rng.random((4, 1, 32, 16, 16)) > 0.9).astype(np.float32)
+        y = (rng.random((4, 1, 32, 16, 16)) > 0.97).astype(np.float32)
+
+        mstate = init_metric_state()
+        new_state, mstate, loss = step(state, mstate, x, y)
+
+        # reference loss on one device
+        pred = net.apply(params, jnp.asarray(x))
+        ref_loss = crit(pred, jnp.asarray(y), net.cvx_coefficients(params),
+                        net.geneo_params_flat(params), net.last_lambda)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+        # params moved and step advanced
+        assert int(new_state.step) == 1
+        assert float(new_state.params["geneo"]["cy_0"]["radius"]) != \
+            float(params["geneo"]["cy_0"]["radius"])
+
+        # metrics match the single-device confusion counts
+        ref_m = update_metrics(init_metric_state(), pred, jnp.asarray(y), 0.65)
+        for a, b in zip(mstate, ref_m):
+            assert int(a) == int(b)
+
+    def test_two_steps_accumulate_metrics(self, devices8):
+        mesh = make_mesh((2, 4), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = self._criterion()
+        state, tx = create_train_state(params, "sgd", 1e-3, net.trainable_mask(params))
+        step = make_sharded_train_step(net, crit, tx, mesh)
+        rng = np.random.default_rng(5)
+        x = (rng.random((2, 1, 16, 16, 16)) > 0.9).astype(np.float32)
+        y = (rng.random((2, 1, 16, 16, 16)) > 0.97).astype(np.float32)
+        mstate = init_metric_state()
+        state, mstate, _ = step(state, mstate, x, y)
+        state, mstate, _ = step(state, mstate, x, y)
+        total = sum(int(v) for v in mstate)
+        assert total == 2 * x.size  # every voxel counted exactly twice
+        m = compute_metrics(mstate)
+        assert np.isfinite(float(m["F1Score"]))
