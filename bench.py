@@ -23,7 +23,7 @@ import numpy as np
 
 GRID = (64, 64, 64)
 BATCH = 32
-ITERS = 8
+ITERS = 16
 MAX_POINTS = 81920
 FIXTURES = "/root/reference/data-sample"
 
@@ -105,7 +105,6 @@ def _tpu_throughput(clouds) -> float:
         pts[b, :n] = (xyz[:n] - xyz[:n].min(0)).astype(np.float32)
         mask[b, :n] = True
 
-    @jax.jit
     def pipeline(params, pts, mask):
         def per_sample(p, m):
             hist = voxelize_fused(p, jnp.zeros(p.shape[0], jnp.int32), m,
@@ -115,16 +114,26 @@ def _tpu_throughput(clouds) -> float:
         pred = net.apply(params, grids)
         return prob_to_label(pred, 0.65)
 
+    # Honest timing through the remote-execution tunnel (where
+    # block_until_ready can return before execution): run ITERS pipeline
+    # passes inside one on-device fori_loop — each iteration's input is
+    # perturbed by the loop counter so XLA cannot hoist/CSE the body —
+    # and fetch a single scalar, which forces completion.
+    @jax.jit
+    def bench_loop(params, pts, mask):
+        def body(i, acc):
+            out = pipeline(params, pts + i * 1e-7, mask)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
     pts_d = jax.device_put(jnp.asarray(pts))
     mask_d = jax.device_put(jnp.asarray(mask))
-    out = pipeline(params, pts_d, mask_d)
-    out.block_until_ready()  # compile + warm up
+    float(bench_loop(params, pts_d, mask_d))  # compile + warm up
 
     start = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(params, pts_d, mask_d)
-    out.block_until_ready()
+    total = float(bench_loop(params, pts_d, mask_d))
     elapsed = time.perf_counter() - start
+    assert np.isfinite(total)
     return BATCH * ITERS / elapsed
 
 

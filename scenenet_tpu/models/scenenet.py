@@ -215,6 +215,10 @@ class QuantileSceneNet:
     net: SceneNet
     quantiles: Tuple[float, ...] = (0.1, 0.5, 0.9)
 
+    @property
+    def last_lambda(self) -> str:
+        return self.net.last_lambda
+
     @classmethod
     def create(cls, geneo_num=None, kernel_size=(9, 6, 6), quantiles=(0.1, 0.5, 0.9),
                version: str = "v2", seed: int = 0):

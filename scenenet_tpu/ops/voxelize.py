@@ -102,6 +102,34 @@ def normalize_per_column(grid: jnp.ndarray) -> jnp.ndarray:
     return ((flat - lo) / scale).reshape(grid.shape)
 
 
+def _sorted_bin_sums(
+    flat: jnp.ndarray,
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    size: int,
+) -> jnp.ndarray:
+    """Sum ``values`` (N, C) per flat bin WITHOUT a scatter.
+
+    TPU strategy: XLA scatter-add is slow on TPU; instead sort the point
+    bin keys (padding keyed past the last bin), locate every bin's extent
+    with a vectorized ``searchsorted`` over the sorted keys, and read per-
+    bin sums out of an inclusive prefix sum of the (co-sorted) values.
+    sort + cumsum + gather are all fast TPU primitives.
+    Returns (size, C).
+    """
+    n, c = values.shape
+    key = jnp.where(mask, flat, size).astype(jnp.int32)
+    sort_args = [key] + [values[:, j].astype(jnp.float32) for j in range(c)]
+    sorted_out = jax.lax.sort(sort_args, num_keys=1)
+    skey, svals = sorted_out[0], sorted_out[1:]
+    edges = jnp.searchsorted(skey, jnp.arange(size + 1, dtype=jnp.int32))
+    cols = []
+    for sv in svals:
+        cum = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sv)])
+        cols.append(cum[edges[1:]] - cum[edges[:-1]])
+    return jnp.stack(cols, axis=1)
+
+
 def _scatter_grids(
     points: jnp.ndarray,
     mask: jnp.ndarray,
@@ -109,20 +137,31 @@ def _scatter_grids(
     grid_shape: Tuple[int, int, int],
     lo: Optional[jnp.ndarray],
     hi: Optional[jnp.ndarray],
+    method: str = "scatter",
 ) -> jnp.ndarray:
-    """Core scatter: sum ``values`` (N, C) into a (C, n_z, n_x, n_y) grid."""
+    """Core binning: sum ``values`` (N, C) into a (C, n_z, n_x, n_y) grid.
+
+    ``method='scatter'`` (default) uses a plain XLA scatter-add
+    (segment_sum): measured at ~3.6 ms/sample for 82k points → 64³ on a
+    v5e. ``method='sort'`` (sort + searchsorted + cumsum, no scatter) was
+    the hypothesized TPU-friendly strategy but measures ~15× slower on a
+    v5e (XLA's 1D sort is the bottleneck) — kept for cross-checking.
+    """
     if lo is None or hi is None:
         lo, hi = grid_bounds(points, mask)
     idx = voxel_indices(points, lo, hi, grid_shape)
     flat = _flat_zxy_idx(idx, grid_shape)
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    flat = jnp.where(mask, flat, size)  # padded points → discard bin
-    sums = jax.ops.segment_sum(values, flat, num_segments=size + 1)
-    return sums[:size].T.reshape(values.shape[1], n_z, n_x, n_y)
+    if method == "sort":
+        sums = _sorted_bin_sums(flat, values, mask, size)
+    else:
+        flat = jnp.where(mask, flat, size)  # padded points → discard bin
+        sums = jax.ops.segment_sum(values, flat, num_segments=size + 1)[:size]
+    return sums.T.reshape(values.shape[1], n_z, n_x, n_y)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels", "method"))
 def voxelize_fused(
     points: jnp.ndarray,
     labels: jnp.ndarray,
@@ -131,6 +170,7 @@ def voxelize_fused(
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
     lo: Optional[jnp.ndarray] = None,
     hi: Optional[jnp.ndarray] = None,
+    method: str = "scatter",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-pass point-cloud → (density-input, tower-fraction-GT) voxel pair.
 
@@ -157,28 +197,29 @@ def voxelize_fused(
     for lbl in keep_labels:
         is_tower = jnp.logical_or(is_tower, labels == lbl).astype(points.dtype)
     values = jnp.stack([jnp.ones_like(is_tower), is_tower], axis=1)
-    grids = _scatter_grids(points, mask, values, grid_shape, lo, hi)
+    grids = _scatter_grids(points, mask, values, grid_shape, lo, hi, method)
     counts, tower = grids[0], grids[1]
     hist = normalize_per_column(counts)
     reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
     return hist, reg
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape",))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "method"))
 def voxelize_hist(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
     lo: Optional[jnp.ndarray] = None,
     hi: Optional[jnp.ndarray] = None,
+    method: str = "scatter",
 ) -> jnp.ndarray:
     """Density grid only (device twin of ``hist_on_voxel``)."""
     values = jnp.ones((points.shape[0], 1), points.dtype)
-    counts = _scatter_grids(points, mask, values, grid_shape, lo, hi)[0]
+    counts = _scatter_grids(points, mask, values, grid_shape, lo, hi, method)[0]
     return normalize_per_column(counts)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels", "method"))
 def voxelize_reg(
     points: jnp.ndarray,
     labels: jnp.ndarray,
@@ -187,18 +228,20 @@ def voxelize_reg(
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
     lo: Optional[jnp.ndarray] = None,
     hi: Optional[jnp.ndarray] = None,
+    method: str = "scatter",
 ) -> jnp.ndarray:
     """Tower-fraction grid only (device twin of ``reg_on_voxel``)."""
-    _, reg = voxelize_fused(points, labels, mask, keep_labels, grid_shape, lo, hi)
+    _, reg = voxelize_fused(points, labels, mask, keep_labels, grid_shape, lo, hi, method)
     return reg
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape",))
+@functools.partial(jax.jit, static_argnames=("grid_shape", "method"))
 def voxelize_from_indices(
     flat_idx: jnp.ndarray,
     is_tower: jnp.ndarray,
     mask: jnp.ndarray,
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
+    method: str = "scatter",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bit-exact hybrid path: host-computed voxel indices → device scatter.
 
@@ -217,10 +260,13 @@ def voxelize_from_indices(
     """
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    idx = jnp.where(mask, flat_idx, size)
     values = jnp.stack([mask.astype(jnp.float32), is_tower.astype(jnp.float32)], axis=1)
-    sums = jax.ops.segment_sum(values, idx, num_segments=size + 1)
-    grids = sums[:size].T.reshape(2, n_z, n_x, n_y)
+    if method == "sort":
+        sums = _sorted_bin_sums(flat_idx, values, mask, size)
+    else:
+        idx = jnp.where(mask, flat_idx, size)
+        sums = jax.ops.segment_sum(values, idx, num_segments=size + 1)[:size]
+    grids = sums.T.reshape(2, n_z, n_x, n_y)
     counts, tower = grids[0], grids[1]
     hist = normalize_per_column(counts)
     reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)

@@ -46,7 +46,11 @@ def update_metrics(
     target: jnp.ndarray,
     tau: float = DEFAULT_TAU,
 ) -> MetricState:
-    """Accumulate confusion counts; safe to call inside jit."""
+    """Accumulate confusion counts; safe to call inside jit.
+
+    Shapes broadcast (e.g. quantile predictions (B, Q, ...) against a
+    (B, 1, ...) target score every quantile's voxels)."""
+    pred, target = jnp.broadcast_arrays(pred, target)
     p = (pred >= tau).reshape(-1)
     t = (target >= 0.5).reshape(-1)
     tp = jnp.sum(p & t).astype(jnp.int32)

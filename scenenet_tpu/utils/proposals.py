@@ -22,13 +22,17 @@ MERGE_DIST = 1.5      # centroid merge distance
 
 
 def grid_to_tower_points(grid: np.ndarray, tau: Optional[float] = None) -> np.ndarray:
-    """Thresholded grid → (N, 3) voxel-coordinate points of positives."""
+    """Thresholded grid → (N, 3) voxel-coordinate points of positives.
+
+    Dense grids are indexed (z, x, y); columns are reordered to (x, y, z)
+    so downstream xy/height logic reads naturally.
+    """
     grid = np.squeeze(np.asarray(grid))
     if tau is not None:
         grid = prob_to_label_np(grid, tau)
     pts = vxg_to_xyz_np(grid)
-    # vxg_to_xyz emits (z, x, y) index order; keep the reference layout
-    return pts[pts[:, 3] >= 1.0][:, :3]
+    pts = pts[pts[:, 3] >= 1.0]
+    return pts[:, [1, 2, 0]]
 
 
 def extract_towers_from_grid(
