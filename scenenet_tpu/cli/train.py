@@ -106,6 +106,15 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     test_scores = trainer.evaluate(final_params, test_loader, prefix="test")
     for k, v in sorted(test_scores.items()):
         print(f"  {k}: {v:.4f}")
+
+    if getattr(cfg, "export_stablehlo", False):
+        # serialized-model export (the reference's save_onnx twin)
+        from scenenet_tpu.utils.export import export_forward
+
+        path = os.path.join(ckpt_dir, f"{cfg.project}.stablehlo")
+        export_forward(model, final_params,
+                       (1, 1, *cfg.voxel_grid_size[::-1]), path)
+        print(f"exported StableHLO to {path}")
     return {**best, **test_scores}
 
 

@@ -13,7 +13,13 @@ from scenenet_tpu.data.pcd import (
     downsampling,
     downsampling_relative_height,
 )
-from scenenet_tpu.data.transforms import Compose, Voxelization, ToFullDense, PointPadding
+from scenenet_tpu.data.transforms import (
+    AddPad,
+    Compose,
+    PointPadding,
+    ToFullDense,
+    Voxelization,
+)
 from scenenet_tpu.data.ts40k import TS40K, build_data_samples
 from scenenet_tpu.data.semantic_kitti import SemanticKITTI, SemanticKITTICrops, build_pole_radius_samples
 from scenenet_tpu.data.loader import VoxelLoader, PointCloudLoader
@@ -32,6 +38,7 @@ __all__ = [
     "xyz_centroid",
     "downsampling",
     "downsampling_relative_height",
+    "AddPad",
     "Compose",
     "Voxelization",
     "ToFullDense",

@@ -84,6 +84,19 @@ class ToFullDense:
         )
 
 
+class AddPad:
+    """Zero-pad both grids; ``pad`` is ((z_lo, z_hi), (x_lo, x_hi),
+    (y_lo, y_hi)) applied after the channel dim (reference ``AddPad``,
+    ``torch_transforms.py:85-100``)."""
+
+    def __init__(self, pad):
+        self.pad = tuple(tuple(p) for p in pad)
+
+    def __call__(self, sample):
+        pads = ((0, 0),) + self.pad
+        return tuple(np.pad(t, pads) for t in sample)
+
+
 @dataclasses.dataclass
 class PointPadding:
     """(points, labels) → fixed-size (points, labels, mask, flat_idx) for

@@ -19,6 +19,8 @@ from scenenet_tpu.ops.voxelize import (
     vxg_to_xyz,
 )
 from scenenet_tpu.ops.conv3d import conv3d_same, geneo_conv
+from scenenet_tpu.ops.dbscan import dbscan, extract_clusters
+from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv, scenenet_forward_pallas
 
 __all__ = [
     "VoxelGridSpec",
@@ -39,4 +41,8 @@ __all__ = [
     "vxg_to_xyz",
     "conv3d_same",
     "geneo_conv",
+    "dbscan",
+    "extract_clusters",
+    "geneo_stencil_conv",
+    "scenenet_forward_pallas",
 ]

@@ -2,7 +2,7 @@ from scenenet_tpu.train.metrics import MetricState, init_metric_state, update_me
 from scenenet_tpu.train.state import TrainState, create_train_state, resolve_optimizer
 from scenenet_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, CheckpointManager
 from scenenet_tpu.train.callbacks import EarlyStopping, BestMetricTracker
-from scenenet_tpu.train.loop import Trainer, TrainConfig
+from scenenet_tpu.train.loop import Trainer, TrainConfig, make_device_voxelize_prep
 
 __all__ = [
     "MetricState",
@@ -19,4 +19,5 @@ __all__ = [
     "BestMetricTracker",
     "Trainer",
     "TrainConfig",
+    "make_device_voxelize_prep",
 ]

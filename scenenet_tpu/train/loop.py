@@ -57,17 +57,62 @@ class TrainConfig:
     use_wandb: bool = False
 
 
+def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
+                              binarize=(True, True), use_indices=True):
+    """Build a jittable ``batch_prep`` fusing voxelization into the train
+    step: raw padded point batches (points, labels, mask[, flat_idx]) →
+    (x, y) voxel tensors, entirely on device.
+
+    This moves the reference's CPU-worker voxelization (its throughput
+    limiter) inside the compiled step. ``use_indices`` consumes the
+    host-exact flat bin index from
+    :class:`scenenet_tpu.data.transforms.PointPadding` for bit-parity;
+    otherwise bins are computed on device from the raw coordinates.
+    """
+    from scenenet_tpu.ops.voxelize import voxelize_from_indices, voxelize_fused
+
+    def prep(points, labels, mask, flat_idx=None):
+        def per_sample(p, l, m, f):
+            if use_indices and f is not None:
+                hist, reg = voxelize_from_indices(f, jnp.isin(l, jnp.asarray(keep_labels)),
+                                                  m, grid_shape)
+            else:
+                hist, reg = voxelize_fused(p, l, m, tuple(keep_labels), grid_shape)
+            return hist, reg
+
+        if use_indices and flat_idx is not None:
+            hist, reg = jax.vmap(per_sample)(points, labels, mask, flat_idx)
+        else:
+            hist, reg = jax.vmap(lambda p, l, m: per_sample(p, l, m, None))(
+                points, labels, mask)
+        x = hist[:, None]
+        y = reg[:, None]
+        if binarize[0]:
+            x = (x > 0).astype(jnp.float32)
+        if binarize[1]:
+            y = (y > 0).astype(jnp.float32)
+        return x, y
+
+    return prep
+
+
 class Trainer:
     """Generic trainer for models following the functional protocol:
     ``model.apply(params, x) -> pred`` (+ optional ``cvx_coefficients``,
     ``geneo_params_flat``, ``last_lambda``, ``trainable_mask``)."""
 
     def __init__(self, model: Any, criterion: Callable, config: TrainConfig,
-                 logger: Optional[RunLogger] = None):
+                 logger: Optional[RunLogger] = None,
+                 batch_prep: Optional[Callable] = None):
+        """``batch_prep`` (optional, jittable) maps a raw loader batch to
+        (x, y) voxel tensors *inside* the compiled step — e.g.
+        :func:`make_device_voxelize_prep` to fuse on-device voxelization
+        into training."""
         self.model = model
         self.criterion = criterion
         self.config = config
         self.logger = logger or RunLogger(config.run_dir, use_wandb=config.use_wandb)
+        self.batch_prep = batch_prep
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._eval_step = None
@@ -87,7 +132,8 @@ class Trainer:
         cfg = self.config
 
         @jax.jit
-        def train_step(state: TrainState, mstate: MetricState, x, y):
+        def train_step(state: TrainState, mstate: MetricState, *batch):
+            x, y = self.batch_prep(*batch) if self.batch_prep else batch
             (loss, pred), grads = jax.value_and_grad(self._loss, has_aux=True)(state.params, x, y)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -96,7 +142,8 @@ class Trainer:
             return new_state, mstate, loss, grads
 
         @jax.jit
-        def eval_step(params, mstate: MetricState, x, y):
+        def eval_step(params, mstate: MetricState, *batch):
+            x, y = self.batch_prep(*batch) if self.batch_prep else batch
             loss, pred = self._loss(params, x, y)
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return mstate, loss, pred
@@ -138,9 +185,9 @@ class Trainer:
             mstate = init_metric_state()
             losses = []
             grad_logged = False
-            for x, y in train_loader:
-                x, y = jnp.asarray(x), jnp.asarray(y)
-                state, mstate, loss, grads = train_step(state, mstate, x, y)
+            for batch in train_loader:
+                batch = tuple(jnp.asarray(b) for b in batch)
+                state, mstate, loss, grads = train_step(state, mstate, *batch)
                 losses.append(loss)
                 if cfg.log_gradients and not grad_logged:
                     # one gradient snapshot per epoch (reference
@@ -161,8 +208,9 @@ class Trainer:
             if val_loader is not None:
                 vstate = init_metric_state()
                 vlosses = []
-                for x, y in val_loader:
-                    vstate, vloss, _ = eval_step(state.params, vstate, jnp.asarray(x), jnp.asarray(y))
+                for batch in val_loader:
+                    batch = tuple(jnp.asarray(b) for b in batch)
+                    vstate, vloss, _ = eval_step(state.params, vstate, *batch)
                     vlosses.append(vloss)
                 scores.update({f"val_{k}": float(v) for k, v in
                                compute_metrics(vstate, cfg.fbeta).items()})
@@ -193,8 +241,9 @@ class Trainer:
         _, eval_step = self._build_steps(self._tx)
         mstate = init_metric_state()
         losses = []
-        for x, y in loader:
-            mstate, loss, _ = eval_step(params, mstate, jnp.asarray(x), jnp.asarray(y))
+        for batch in loader:
+            batch = tuple(jnp.asarray(b) for b in batch)
+            mstate, loss, _ = eval_step(params, mstate, *batch)
             losses.append(loss)
         scores = {f"{prefix}_{k}": float(v) for k, v in
                   compute_metrics(mstate, self.config.fbeta).items()}
@@ -206,7 +255,11 @@ class Trainer:
     def predict(self, params: Any, loader: Iterable):
         apply = jax.jit(self.model.apply)
         for batch in loader:
-            x = batch[0] if isinstance(batch, (tuple, list)) else batch
+            if self.batch_prep is not None:
+                batch = tuple(jnp.asarray(b) for b in batch)
+                x, _ = jax.jit(self.batch_prep)(*batch)
+            else:
+                x = batch[0] if isinstance(batch, (tuple, list)) else batch
             yield np.asarray(apply(params, jnp.asarray(x)))
 
     def restore_best(self, metric: str, template: Any) -> Any:

@@ -81,8 +81,9 @@ class ExperimentConfig:
     mesh_data: int = 1
     mesh_space: int = 1
 
-    # logging
+    # logging / export
     use_wandb: bool = False
+    export_stablehlo: bool = False
 
     def criterion_params(self) -> Dict[str, Any]:
         return {

@@ -1,0 +1,42 @@
+"""Pallas fused stencil conv (interpret mode on CPU): exactness vs the XLA
+conv path across kernel shapes and inputs."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from scenenet_tpu.models import SceneNet
+from scenenet_tpu.ops.conv3d import conv3d_same
+from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv, scenenet_forward_pallas
+
+
+class TestStencilConv:
+    @pytest.mark.parametrize("ks", [(9, 5, 5), (3, 3, 3), (9, 6, 6), (1, 1, 1)])
+    def test_matches_xla_conv(self, ks):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 1, 16, 16, 16)).astype(np.float32))
+        k = jnp.asarray(rng.random(ks).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_fused_activation(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 1, 8, 8, 8)).astype(np.float32))
+        k = jnp.asarray(rng.random((3, 3, 3)).astype(np.float32))
+        conv = conv3d_same(x, k[None, None])
+        ref = jnp.maximum(jnp.tanh(conv), 0.0)
+        out = geneo_stencil_conv(x, k, activation=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_scenenet_forward_pallas_matches_apply(self):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.9).astype(np.float32))
+        ref = net.apply(params, x)
+        out = scenenet_forward_pallas(net, params, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)

@@ -1,0 +1,91 @@
+"""SemanticKITTI pipeline on synthetic sequence fixtures: raw scan/label
+readers, %-splits, pole-crop ETL, crops dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scenenet_tpu.data.semantic_kitti import (
+    POLE_LABEL,
+    SemanticKITTI,
+    SemanticKITTICrops,
+    build_pole_radius_samples,
+    read_kitti_label,
+    read_velodyne_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.default_rng(0)
+    for seq in (0, 1):
+        vel = root / "sequences" / f"{seq:02d}" / "velodyne"
+        lab = root / "sequences" / f"{seq:02d}" / "labels"
+        vel.mkdir(parents=True)
+        lab.mkdir(parents=True)
+        for scan_i in range(5):
+            n = 3000
+            xyz = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+            labels = rng.choice([40, 70, 80], size=n, p=[0.6, 0.3, 0.1]).astype(np.uint32)
+            # a dense pole cluster so DBSCAN finds an instance
+            pole = np.column_stack([
+                rng.normal(5, 0.2, 60), rng.normal(5, 0.2, 60),
+                rng.uniform(0, 6, 60),
+            ]).astype(np.float32)
+            xyz = np.concatenate([xyz, pole])
+            labels = np.concatenate([labels, np.full(60, POLE_LABEL, np.uint32)])
+            # instance id in the high 16 bits must be masked off by the reader
+            labels_packed = labels.astype(np.uint32) | (np.uint32(7) << 16)
+            scan = np.concatenate([xyz, np.zeros((len(xyz), 1), np.float32)], axis=1)
+            scan.astype(np.float32).tofile(vel / f"{scan_i:06d}.bin")
+            labels_packed.tofile(lab / f"{scan_i:06d}.label")
+    return str(root)
+
+
+class TestReaders:
+    def test_scan_and_label(self, kitti_root):
+        scan = os.path.join(kitti_root, "sequences", "00", "velodyne", "000000.bin")
+        label = os.path.join(kitti_root, "sequences", "00", "labels", "000000.label")
+        xyz = read_velodyne_scan(scan)
+        lab = read_kitti_label(label)
+        assert xyz.shape[1] == 3 and len(xyz) == len(lab)
+        assert set(np.unique(lab)).issubset({40, 70, 80})  # instance bits masked
+
+
+class TestDataset:
+    def test_splits_partition(self, kitti_root):
+        full = SemanticKITTI(kitti_root, split="samples")
+        train = SemanticKITTI(kitti_root, split="train")
+        val = SemanticKITTI(kitti_root, split="val")
+        test = SemanticKITTI(kitti_root, split="test")
+        assert len(full) == 10
+        assert len(train) + len(val) + len(test) == len(full)
+
+    def test_getitem(self, kitti_root):
+        ds = SemanticKITTI(kitti_root, split="samples")
+        xyz, labels = ds[0]
+        assert xyz.shape[0] == 1 and xyz.shape[2] == 3
+
+    def test_with_voxelization_transform(self, kitti_root):
+        from scenenet_tpu.data import Compose, ToFullDense, Voxelization
+
+        t = Compose([
+            Voxelization([POLE_LABEL], vxg_size=(16, 16, 16)),
+            ToFullDense((True, True)),
+        ])
+        ds = SemanticKITTI(kitti_root, split="samples", transform=t)
+        x, y = ds[0]
+        assert x.shape == (1, 16, 16, 16)
+        assert y.sum() > 0  # pole cluster shows up in GT
+
+
+class TestPoleETL:
+    def test_build_and_load_crops(self, kitti_root, tmp_path):
+        out = str(tmp_path / "crops")
+        n = build_pole_radius_samples(kitti_root, out)
+        assert n >= 5  # ≥1 pole instance per scan (2 seq × 5 scans, some merged)
+        ds = SemanticKITTICrops(out, split="samples")
+        xyz, labels = ds[0]
+        assert (np.squeeze(labels) == POLE_LABEL).sum() >= 5
