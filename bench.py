@@ -93,7 +93,8 @@ def _tpu_throughput(clouds) -> float:
     from scenenet_tpu.ops.voxelize import voxelize_fused, prob_to_label
 
     net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
-                                  kernel_size=(9, 5, 5), seed=0)
+                                  kernel_size=(9, 5, 5), seed=0,
+                                  backend="pallas")
 
     # build a padded (B, N, 3) batch by cycling the fixtures
     pts = np.zeros((BATCH, MAX_POINTS, 3), np.float32)

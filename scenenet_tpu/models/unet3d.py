@@ -86,6 +86,8 @@ class _UNetModule(nn.Module):
 @dataclasses.dataclass(frozen=True)
 class UNet3D:
     n_classes: int = 1
+    # stateful protocol: the Trainer threads batch_stats through TrainState
+    is_stateful: bool = True
 
     @classmethod
     def create(cls, n_classes: int = 1, seed: int = 0, input_shape=(1, 1, 64, 64, 64)):
@@ -94,6 +96,22 @@ class UNet3D:
             jax.random.PRNGKey(seed), jnp.zeros(input_shape, jnp.float32), train=False
         )
         return model, dict(variables)
+
+    def split_variables(self, variables: Mapping):
+        """(trainable params, model_state) for the stateful trainer."""
+        state = {k: v for k, v in variables.items() if k != "params"}
+        return variables["params"], state
+
+    def apply_train(self, params, model_state, x: jnp.ndarray):
+        pred, updates = _UNetModule(self.n_classes).apply(
+            {"params": params, **model_state}, x, train=True,
+            mutable=list(model_state.keys()),
+        )
+        return pred, dict(updates)
+
+    def apply_eval(self, params, model_state, x: jnp.ndarray):
+        return _UNetModule(self.n_classes).apply(
+            {"params": params, **model_state}, x, train=False)
 
     def apply(self, variables: Mapping, x: jnp.ndarray, train: bool = False):
         """Returns pred (and new batch_stats when train=True)."""

@@ -120,13 +120,24 @@ class Trainer:
 
     # ---- step builders -----------------------------------------------------
 
-    def _loss(self, params, x, y):
-        pred = self.model.apply(params, x)
+    @property
+    def _stateful(self) -> bool:
+        return bool(getattr(self.model, "is_stateful", False))
+
+    def _loss(self, params, x, y, model_state=None, train=True):
+        new_ms = model_state
+        if self._stateful:
+            if train:
+                pred, new_ms = self.model.apply_train(params, model_state, x)
+            else:
+                pred = self.model.apply_eval(params, model_state, x)
+        else:
+            pred = self.model.apply(params, x)
         cvx = self.model.cvx_coefficients(params) if hasattr(self.model, "cvx_coefficients") else {}
         geneo = self.model.geneo_params_flat(params) if hasattr(self.model, "geneo_params_flat") else {}
         last = getattr(self.model, "last_lambda", None)
         loss = self.criterion(pred, y, cvx, geneo, last)
-        return loss, pred
+        return loss, (pred, new_ms)
 
     def _build_steps(self, tx: optax.GradientTransformation):
         cfg = self.config
@@ -134,17 +145,19 @@ class Trainer:
         @jax.jit
         def train_step(state: TrainState, mstate: MetricState, *batch):
             x, y = self.batch_prep(*batch) if self.batch_prep else batch
-            (loss, pred), grads = jax.value_and_grad(self._loss, has_aux=True)(state.params, x, y)
+            (loss, (pred, new_ms)), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(state.params, x, y, state.model_state)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=opt_state, model_state=new_ms)
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return new_state, mstate, loss, grads
 
         @jax.jit
-        def eval_step(params, mstate: MetricState, *batch):
+        def eval_step(params, model_state, mstate: MetricState, *batch):
             x, y = self.batch_prep(*batch) if self.batch_prep else batch
-            loss, pred = self._loss(params, x, y)
+            loss, (pred, _) = self._loss(params, x, y, model_state, train=False)
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return mstate, loss, pred
 
@@ -159,14 +172,20 @@ class Trainer:
         val_loader: Optional[Iterable] = None,
     ) -> Tuple[Any, Dict[str, float]]:
         cfg = self.config
-        mask = self.model.trainable_mask(params) if hasattr(self.model, "trainable_mask") else None
-        tx = None
+        model_state = None
+        if self._stateful:
+            params, model_state = self.model.split_variables(params)
+        mask = None
+        if not self._stateful and hasattr(self.model, "trainable_mask"):
+            mask = self.model.trainable_mask(params)
         state, tx = create_train_state(params, cfg.optimizer, cfg.learning_rate, mask)
+        state = state.replace(model_state=model_state)
         if cfg.accumulate_grad_batches > 1:
             # rebuild with MultiSteps so updates apply every N batches
             base = tx
             tx = optax.MultiSteps(base, cfg.accumulate_grad_batches)
-            state = TrainState(step=state.step, params=params, opt_state=tx.init(params))
+            state = TrainState(step=state.step, params=params, opt_state=tx.init(params),
+                               model_state=model_state)
         self._tx = tx
         train_step, eval_step = self._build_steps(tx)
 
@@ -210,7 +229,8 @@ class Trainer:
                 vlosses = []
                 for batch in val_loader:
                     batch = tuple(jnp.asarray(b) for b in batch)
-                    vstate, vloss, _ = eval_step(state.params, vstate, *batch)
+                    vstate, vloss, _ = eval_step(state.params, state.model_state,
+                                                 vstate, *batch)
                     vlosses.append(vloss)
                 scores.update({f"val_{k}": float(v) for k, v in
                                compute_metrics(vstate, cfg.fbeta).items()})
@@ -222,18 +242,25 @@ class Trainer:
                 self.logger.log_params(self.model.parameters_in_dict(state.params), epoch)
             self.logger.log_metrics(scores, epoch)
             self.best.update(scores)
-            ckpt.step(state.params, scores, epoch)
+            ckpt_tree = state.params if not self._stateful else \
+                {"params": state.params, **(state.model_state or {})}
+            ckpt.step(ckpt_tree, scores, epoch)
 
             if stopper is not None and stopper.update(scores):
                 break
             epoch += 1
 
         self._ckpt = ckpt
+        if self._stateful:
+            return {"params": state.params, **(state.model_state or {})}, self.best.best
         return state.params, self.best.best
 
     # ---- eval / predict ------------------------------------------------------
 
     def evaluate(self, params: Any, loader: Iterable, prefix: str = "test") -> Dict[str, float]:
+        model_state = None
+        if self._stateful:
+            params, model_state = self.model.split_variables(params)
         if self._train_step is None and self._tx is None:
             _, tx = create_train_state(params, self.config.optimizer,
                                        self.config.learning_rate)
@@ -243,7 +270,7 @@ class Trainer:
         losses = []
         for batch in loader:
             batch = tuple(jnp.asarray(b) for b in batch)
-            mstate, loss, _ = eval_step(params, mstate, *batch)
+            mstate, loss, _ = eval_step(params, model_state, mstate, *batch)
             losses.append(loss)
         scores = {f"{prefix}_{k}": float(v) for k, v in
                   compute_metrics(mstate, self.config.fbeta).items()}
@@ -253,7 +280,11 @@ class Trainer:
         return scores
 
     def predict(self, params: Any, loader: Iterable):
-        apply = jax.jit(self.model.apply)
+        if self._stateful:
+            p, ms = self.model.split_variables(params)
+            apply = jax.jit(lambda _p, x: self.model.apply_eval(p, ms, x))
+        else:
+            apply = jax.jit(self.model.apply)
         for batch in loader:
             if self.batch_prep is not None:
                 batch = tuple(jnp.asarray(b) for b in batch)

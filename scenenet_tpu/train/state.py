@@ -34,11 +34,15 @@ def resolve_optimizer(name: str, learning_rate: float) -> optax.GradientTransfor
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
-    """Pure pytree carried through the jitted train step."""
+    """Pure pytree carried through the jitted train step.
+
+    ``model_state`` holds non-gradient model collections (e.g. flax
+    BatchNorm ``batch_stats``); None for pure models."""
 
     step: jax.Array
     params: Any
     opt_state: Any
+    model_state: Any = None
 
     def replace(self, **kw) -> "TrainState":
         return dataclasses.replace(self, **kw)

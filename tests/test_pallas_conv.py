@@ -32,6 +32,26 @@ class TestStencilConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
+    def test_custom_vjp_matches_xla_grads(self):
+        import jax
+
+        from scenenet_tpu.ops.pallas_conv import fused_geneo_conv
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((2, 1, 16, 16, 16)).astype(np.float32))
+        k = jnp.asarray((rng.random((9, 5, 5)) * 0.2 - 0.1).astype(np.float32))
+
+        def ref(x, k):
+            return jnp.maximum(jnp.tanh(conv3d_same(x, k[None, None])), 0.0)
+
+        gx_ref, gk_ref = jax.grad(lambda a, b: jnp.sum(ref(a, b) ** 2),
+                                  argnums=(0, 1))(x, k)
+        gx, gk = jax.grad(lambda a, b: jnp.sum(fused_geneo_conv(a, b, True) ** 2),
+                          argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                                   atol=1e-3, rtol=1e-4)
+
     def test_scenenet_forward_pallas_matches_apply(self):
         net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
         rng = np.random.default_rng(2)
