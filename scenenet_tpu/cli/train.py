@@ -77,8 +77,11 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         params = restore_checkpoint(ckpt_path, params)
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
+    # drop the ragged final batch: on TPU every distinct batch shape is a
+    # separate XLA compile (the first-epoch compile storm otherwise)
     train_loader = VoxelLoader(train_ds, cfg.batch_size, shuffle=True,
-                               num_workers=cfg.num_workers, seed=cfg.seed)
+                               num_workers=cfg.num_workers, seed=cfg.seed,
+                               drop_last=len(train_ds) >= cfg.batch_size)
     val_loader = VoxelLoader(val_ds, cfg.batch_size, num_workers=cfg.num_workers)
     test_loader = VoxelLoader(test_ds, cfg.batch_size, num_workers=cfg.num_workers)
 
