@@ -68,8 +68,7 @@ def _cpu_reference_throughput(clouds, n_samples=3) -> float:
         conv = F.conv3d(x, kernels, padding="same")
         return torch.relu(torch.tanh(conv.sum(1, keepdim=True)))
 
-    start = time.perf_counter()
-    for cloud in clouds[:n_samples]:
+    def one_pass(cloud):
         xyz = cloud[:, :3]
         spec = compute_grid_spec(xyz, GRID)
         idx = voxel_indices_np(xyz, spec)
@@ -81,8 +80,15 @@ def _cpu_reference_throughput(clouds, n_samples=3) -> float:
         data[tuple(np.array(groups.index.tolist()).T)] = groups["points"].to_numpy()
         x = torch.from_numpy((data > 0).astype(np.float64))[None, None]
         torch_forward(x)
-    elapsed = time.perf_counter() - start
-    return n_samples / elapsed
+
+    # best-of-3 (fastest CPU pass → most conservative speedup ratio)
+    best = 0.0
+    for _ in range(3):
+        start = time.perf_counter()
+        for cloud in clouds[:n_samples]:
+            one_pass(cloud)
+        best = max(best, n_samples / (time.perf_counter() - start))
+    return best
 
 
 def _tpu_throughput(clouds) -> float:
@@ -90,7 +96,7 @@ def _tpu_throughput(clouds) -> float:
     import jax.numpy as jnp
 
     from scenenet_tpu.models import SceneNet
-    from scenenet_tpu.ops.voxelize import voxelize_fused, prob_to_label
+    from scenenet_tpu.ops.voxelize import prob_to_label, voxelize_batch_hist
 
     net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
                                   kernel_size=(9, 5, 5), seed=0,
@@ -107,11 +113,8 @@ def _tpu_throughput(clouds) -> float:
         mask[b, :n] = True
 
     def pipeline(params, pts, mask):
-        def per_sample(p, m):
-            hist = voxelize_fused(p, jnp.zeros(p.shape[0], jnp.int32), m,
-                                  (15,), GRID)[0]
-            return (hist > 0).astype(jnp.float32)
-        grids = jax.vmap(per_sample)(pts, mask)[:, None]
+        hist = voxelize_batch_hist(pts, mask, GRID)
+        grids = (hist > 0).astype(jnp.float32)[:, None]
         pred = net.apply(params, grids)
         return prob_to_label(pred, 0.65)
 

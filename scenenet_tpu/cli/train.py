@@ -46,11 +46,20 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
 
 
 def build_datasets(cfg: ExperimentConfig):
-    transform = Compose([
-        Voxelization(list(cfg.keep_labels), vox_size=cfg.voxel_size,
-                     vxg_size=cfg.voxel_grid_size),
-        ToFullDense((True, True)),
-    ])
+    if cfg.device_voxelization:
+        # TPU path: loaders emit fixed-size padded point batches and the
+        # voxelization runs inside the jitted train step (batch_prep)
+        from scenenet_tpu.data import PointPadding
+
+        transform = PointPadding(max_points=cfg.max_points,
+                                 vxg_size=cfg.voxel_grid_size,
+                                 vox_size=cfg.voxel_size)
+    else:
+        transform = Compose([
+            Voxelization(list(cfg.keep_labels), vox_size=cfg.voxel_size,
+                         vxg_size=cfg.voxel_grid_size),
+            ToFullDense((True, True)),
+        ])
     if cfg.dataset == "ts40k":
         fit = TS40K(cfg.data_path, split="fit", transform=transform)
         test = TS40K(cfg.data_path, split="test", transform=transform)
@@ -98,7 +107,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         run_dir=run_dir,
         use_wandb=cfg.use_wandb,
     )
-    trainer = Trainer(model, criterion, tcfg)
+    batch_prep = None
+    if cfg.device_voxelization:
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        batch_prep = make_device_voxelize_prep(cfg.voxel_grid_size,
+                                               tuple(cfg.keep_labels))
+    trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
     final_params, best = trainer.fit(params, train_loader,
                                      val_loader if len(val_ds) else None)
 

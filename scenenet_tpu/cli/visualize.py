@@ -37,6 +37,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
+    cfg.device_voxelization = False  # visualization wants host (x, y) grids
     model, params = build_model(cfg)
     params = restore_checkpoint(args.checkpoint, params)
     _, _, test_ds = build_datasets(cfg)

@@ -14,6 +14,8 @@ from scenenet_tpu.ops.voxelize import (
     voxelize_reg,
     voxelize_fused,
     voxelize_from_indices,
+    voxelize_batch,
+    voxelize_batch_from_indices,
     voxel_indices,
     prob_to_label,
     vxg_to_xyz,
@@ -36,6 +38,8 @@ __all__ = [
     "voxelize_reg",
     "voxelize_fused",
     "voxelize_from_indices",
+    "voxelize_batch",
+    "voxelize_batch_from_indices",
     "voxel_indices",
     "prob_to_label",
     "vxg_to_xyz",

@@ -273,6 +273,92 @@ def voxelize_from_indices(
     return hist, reg
 
 
+def _batch_from_flat(
+    flat: jnp.ndarray,
+    is_tower: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-batch binning via ONE flat scatter.
+
+    A vmapped per-sample ``segment_sum`` lowers to a batched scatter that
+    measures ~3.6 ms/sample on a v5e; a single flat scatter with segment
+    ids ``b·V + flat`` over B·V bins runs the same work in ~1 ms/sample
+    (3.8× — see benchmarks/RESULTS.md). flat/is_tower/mask are (B, N).
+    """
+    b, n = flat.shape
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
+    ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
+    vals = jnp.stack([mask, jnp.logical_and(is_tower, mask)], axis=-1)
+    vals = vals.reshape(b * n, 2).astype(jnp.float32)
+    sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
+    grids = sums.reshape(b, n_z, n_x, n_y, 2)
+    counts, tower = grids[..., 0], grids[..., 1]
+    hist = jax.vmap(normalize_per_column)(counts)
+    reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
+    return hist, reg
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+def voxelize_batch(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    keep_labels: Tuple[int, ...] = (15,),
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched twin of :func:`voxelize_fused`: (B, N, 3) points →
+    ((B, n_z, n_x, n_y) hist, reg) through the flat-scatter fast path."""
+
+    def per_sample_flat(p, m):
+        lo, hi = grid_bounds(p, m)
+        return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
+
+    flat = jax.vmap(per_sample_flat)(points, mask)
+    is_tower = jnp.zeros(labels.shape, bool)
+    for lbl in keep_labels:
+        is_tower = jnp.logical_or(is_tower, labels == lbl)
+    return _batch_from_flat(flat, is_tower, mask, grid_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def voxelize_batch_hist(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> jnp.ndarray:
+    """Inference fast path: batched density grids only (single-channel
+    flat scatter — half the traffic of :func:`voxelize_batch`)."""
+
+    def per_sample_flat(p, m):
+        lo, hi = grid_bounds(p, m)
+        return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
+
+    flat = jax.vmap(per_sample_flat)(points, mask)
+    b, n = flat.shape
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
+    ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
+    vals = mask.reshape(-1).astype(jnp.float32)
+    sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
+    counts = sums.reshape(b, n_z, n_x, n_y)
+    return jax.vmap(normalize_per_column)(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def voxelize_batch_from_indices(
+    flat_idx: jnp.ndarray,
+    is_tower: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched bit-exact hybrid path ((B, N) host-computed indices)."""
+    return _batch_from_flat(flat_idx, is_tower, mask, grid_shape)
+
+
 def prob_to_label(grid: jnp.ndarray, tau: float) -> jnp.ndarray:
     """Threshold probabilities to {0,1} (reference ``voxelization.py:304-323``)."""
     return (grid >= tau).astype(grid.dtype)

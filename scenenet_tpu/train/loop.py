@@ -69,22 +69,14 @@ def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
     :class:`scenenet_tpu.data.transforms.PointPadding` for bit-parity;
     otherwise bins are computed on device from the raw coordinates.
     """
-    from scenenet_tpu.ops.voxelize import voxelize_from_indices, voxelize_fused
+    from scenenet_tpu.ops.voxelize import voxelize_batch, voxelize_batch_from_indices
 
     def prep(points, labels, mask, flat_idx=None):
-        def per_sample(p, l, m, f):
-            if use_indices and f is not None:
-                hist, reg = voxelize_from_indices(f, jnp.isin(l, jnp.asarray(keep_labels)),
-                                                  m, grid_shape)
-            else:
-                hist, reg = voxelize_fused(p, l, m, tuple(keep_labels), grid_shape)
-            return hist, reg
-
         if use_indices and flat_idx is not None:
-            hist, reg = jax.vmap(per_sample)(points, labels, mask, flat_idx)
+            is_tower = jnp.isin(labels, jnp.asarray(keep_labels))
+            hist, reg = voxelize_batch_from_indices(flat_idx, is_tower, mask, grid_shape)
         else:
-            hist, reg = jax.vmap(lambda p, l, m: per_sample(p, l, m, None))(
-                points, labels, mask)
+            hist, reg = voxelize_batch(points, labels, mask, tuple(keep_labels), grid_shape)
         x = hist[:, None]
         y = reg[:, None]
         if binarize[0]:

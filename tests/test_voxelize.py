@@ -120,6 +120,30 @@ class TestDevicePath:
             both = occ_dev == occ_ref
             assert np.mean(~np.isclose(reg, reg_ref, atol=1e-5)[both]) < 2e-3
 
+    def test_batch_api_matches_per_sample(self, sample_clouds):
+        import jax.numpy as jnp
+
+        from scenenet_tpu.ops.voxelize import voxelize_batch, voxelize_fused
+
+        clouds = sample_clouds[:3]
+        n = max(len(c) for c in clouds)
+        b = len(clouds)
+        pts = np.zeros((b, n, 3), np.float32)
+        labs = np.zeros((b, n), np.int32)
+        mask = np.zeros((b, n), bool)
+        for i, c in enumerate(clouds):
+            m = len(c)
+            pts[i, :m] = (c[:, :3] - c[:, :3].min(0)).astype(np.float32)
+            labs[i, :m] = c[:, 3]
+            mask[i, :m] = True
+        hist_b, reg_b = voxelize_batch(jnp.asarray(pts), jnp.asarray(labs),
+                                       jnp.asarray(mask), (15,), (32, 32, 32))
+        for i in range(b):
+            h1, r1 = voxelize_fused(jnp.asarray(pts[i]), jnp.asarray(labs[i]),
+                                    jnp.asarray(mask[i]), (15,), (32, 32, 32))
+            np.testing.assert_allclose(np.asarray(hist_b[i]), np.asarray(h1), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(reg_b[i]), np.asarray(r1), atol=1e-6)
+
     def test_index_path_is_bit_exact(self, sample_clouds):
         import jax.numpy as jnp
 
