@@ -54,6 +54,7 @@ class TrainConfig:
     checkpoint_top_k: int = 2
     run_dir: str = "runs/default"
     log_gradients: bool = True
+    log_pointclouds_every: int = 0  # every N epochs export val sample PLYs (0 = off)
     use_wandb: bool = False
 
 
@@ -219,11 +220,19 @@ class Trainer:
             if val_loader is not None:
                 vstate = init_metric_state()
                 vlosses = []
+                logged_cloud = False
                 for batch in val_loader:
                     batch = tuple(jnp.asarray(b) for b in batch)
-                    vstate, vloss, _ = eval_step(state.params, state.model_state,
-                                                 vstate, *batch)
+                    vstate, vloss, vpred = eval_step(state.params, state.model_state,
+                                                     vstate, *batch)
                     vlosses.append(vloss)
+                    if (cfg.log_pointclouds_every > 0 and not logged_cloud
+                            and epoch % cfg.log_pointclouds_every == 0):
+                        # colored input/GT/pred point clouds of the first val
+                        # sample (reference logs wandb.Object3D every 10 val
+                        # epochs, lit_model_wrappers.py:222-233)
+                        self._export_pointclouds(batch, vpred, epoch)
+                        logged_cloud = True
                 scores.update({f"val_{k}": float(v) for k, v in
                                compute_metrics(vstate, cfg.fbeta).items()})
                 if vlosses:
@@ -246,6 +255,21 @@ class Trainer:
         if self._stateful:
             return {"params": state.params, **(state.model_state or {})}, self.best.best
         return state.params, self.best.best
+
+    def _export_pointclouds(self, batch, pred, epoch: int) -> None:
+        import os
+
+        from scenenet_tpu.utils.viz import voxelgrid_to_points, write_ply
+
+        if self.batch_prep is not None:
+            x, y = jax.jit(self.batch_prep)(*batch)
+        else:
+            x, y = batch[0], batch[1]
+        out_dir = os.path.join(self.config.run_dir, "pointclouds")
+        os.makedirs(out_dir, exist_ok=True)
+        for name, grid in (("input", x), ("gt", y), ("pred", pred)):
+            pts = voxelgrid_to_points(np.asarray(grid[0, 0]), "ranges")
+            write_ply(os.path.join(out_dir, f"epoch{epoch}_{name}.ply"), pts)
 
     # ---- eval / predict ------------------------------------------------------
 
