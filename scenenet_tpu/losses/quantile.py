@@ -58,6 +58,18 @@ class QuantileGENEOLoss(QuantileLoss):
 
     convex_weight: float = 1.0
 
+    @classmethod
+    def create(cls, targets=None, weighting_scheme_path=None,
+               quantiles=(0.1, 0.5, 0.9), weight_alpha=1.0, weight_epsilon=0.1,
+               mse_weight=1.0, convex_weight=1.0, **kw):
+        base = QuantileLoss.create(
+            targets=targets, weighting_scheme_path=weighting_scheme_path,
+            quantiles=quantiles, weight_alpha=weight_alpha,
+            weight_epsilon=weight_epsilon, mse_weight=mse_weight,
+        )
+        return cls(w_mse=base.w_mse, quantiles=base.quantiles,
+                   convex_weight=convex_weight)
+
     def __call__(self, pred, gt, cvx_coeffs=None, geneo_params=None, last_lambda=None):
         loss = QuantileLoss.__call__(self, pred, gt)
         if cvx_coeffs:
