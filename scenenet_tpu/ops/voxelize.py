@@ -278,24 +278,31 @@ def _batch_from_flat(
     is_tower: jnp.ndarray,
     mask: jnp.ndarray,
     grid_shape: Tuple[int, int, int],
+    method: str = "mxu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whole-batch binning via ONE flat scatter.
+    """Whole-batch two-channel binning, no per-sample scatter.
 
-    A vmapped per-sample ``segment_sum`` lowers to a batched scatter that
-    measures ~3.6 ms/sample on a v5e; a single flat scatter with segment
-    ids ``b·V + flat`` over B·V bins runs the same work in ~1 ms/sample
-    (3.8× — see benchmarks/RESULTS.md). flat/is_tower/mask are (B, N).
+    ``method='mxu'``: one-hot matmuls on the systolic array (fastest on
+    v5e). ``'scatter'``: ONE flat segment_sum with ids ``b·V + flat`` over
+    B·V bins — itself 3.8× the naive vmapped per-sample scatter (see
+    benchmarks/RESULTS.md). flat/is_tower/mask are (B, N).
     """
     b, n = flat.shape
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
-    ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
-    vals = jnp.stack([mask, jnp.logical_and(is_tower, mask)], axis=-1)
-    vals = vals.reshape(b * n, 2).astype(jnp.float32)
-    sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
-    grids = sums.reshape(b, n_z, n_x, n_y, 2)
-    counts, tower = grids[..., 0], grids[..., 1]
+    if method == "mxu":
+        tower_w = jnp.logical_and(is_tower, mask)
+        counts, tower = _mxu_bin_counts2(flat, mask, tower_w, size)
+        counts = counts.reshape(b, n_z, n_x, n_y)
+        tower = tower.reshape(b, n_z, n_x, n_y)
+    else:
+        offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
+        ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
+        vals = jnp.stack([mask, jnp.logical_and(is_tower, mask)], axis=-1)
+        vals = vals.reshape(b * n, 2).astype(jnp.float32)
+        sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
+        grids = sums.reshape(b, n_z, n_x, n_y, 2)
+        counts, tower = grids[..., 0], grids[..., 1]
     hist = jax.vmap(normalize_per_column)(counts)
     reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
     return hist, reg
@@ -323,14 +330,113 @@ def voxelize_batch(
     return _batch_from_flat(flat, is_tower, mask, grid_shape)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape",))
+_MXU_LO = 512     # low-half one-hot width (4 × 128 lanes)
+_MXU_CHUNK = 4096  # points per accumulation chunk
+
+
+def _mxu_bin_counts(
+    flat: jnp.ndarray,
+    mask: jnp.ndarray,
+    size: int,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Histogram as an MXU matmul (no scatter at all).
+
+    Split each bin id into (hi, lo) halves; then
+    ``counts[hi, lo] = Σ_n OneHot(hi_n)[hi] · OneHot(lo_n)[lo]`` — an outer
+    -product accumulation that maps straight onto the systolic array:
+    per chunk, ``counts += Aᵀ(512×C) @ B(C×512)`` in bf16 (0/1 exact) with
+    f32 accumulation. Measured 2.6× the XLA scatter on a v5e (11.4 vs
+    29.6 ms for 32×82k points → 64³; see benchmarks/RESULTS.md).
+
+    ``weights`` (optional, (B, N)) weight each point's contribution via the
+    hi-side one-hot. Returns (B, size) float32.
+    """
+    b, n = flat.shape
+    n_hi = -(-size // _MXU_LO)
+    # pad invalid/padding points to an id whose halves match nothing
+    invalid = n_hi * _MXU_LO
+    flat = jnp.where(mask, flat, invalid)
+    if n % _MXU_CHUNK:
+        pad = _MXU_CHUNK - n % _MXU_CHUNK
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=invalid)
+        if weights is not None:
+            weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        n += pad
+    hi = flat // _MXU_LO
+    lo = flat % _MXU_LO
+    iota_hi = jnp.arange(n_hi, dtype=jnp.int32)
+    iota_lo = jnp.arange(_MXU_LO, dtype=jnp.int32)
+
+    def chunk_body(c, acc):
+        s = c * _MXU_CHUNK
+        hi_c = jax.lax.dynamic_slice_in_dim(hi, s, _MXU_CHUNK, axis=1)
+        lo_c = jax.lax.dynamic_slice_in_dim(lo, s, _MXU_CHUNK, axis=1)
+        a = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)
+        if weights is not None:
+            w_c = jax.lax.dynamic_slice_in_dim(weights, s, _MXU_CHUNK, axis=1)
+            a = a * w_c[..., None].astype(jnp.bfloat16)
+        bm = (lo_c[..., None] == iota_lo).astype(jnp.bfloat16)
+        return acc + jnp.einsum("bnh,bnl->bhl", a, bm,
+                                preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros((b, n_hi, _MXU_LO), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // _MXU_CHUNK, chunk_body, acc)
+    return acc.reshape(b, n_hi * _MXU_LO)[:, :size]
+
+
+def _mxu_bin_counts2(
+    flat: jnp.ndarray,
+    mask: jnp.ndarray,
+    tower: jnp.ndarray,
+    size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-channel MXU histogram: (counts, tower_counts), sharing one
+    one-hot build by stacking the weighted hi-side one-hots."""
+    b, n = flat.shape
+    n_hi = -(-size // _MXU_LO)
+    invalid = n_hi * _MXU_LO
+    flat = jnp.where(mask, flat, invalid)
+    if n % _MXU_CHUNK:
+        pad = _MXU_CHUNK - n % _MXU_CHUNK
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=invalid)
+        tower = jnp.pad(tower, ((0, 0), (0, pad)))
+        n += pad
+    hi = flat // _MXU_LO
+    lo = flat % _MXU_LO
+    iota_hi = jnp.arange(n_hi, dtype=jnp.int32)
+    iota_lo = jnp.arange(_MXU_LO, dtype=jnp.int32)
+    tower = tower.astype(jnp.bfloat16)
+
+    def chunk_body(c, acc):
+        s = c * _MXU_CHUNK
+        hi_c = jax.lax.dynamic_slice_in_dim(hi, s, _MXU_CHUNK, axis=1)
+        lo_c = jax.lax.dynamic_slice_in_dim(lo, s, _MXU_CHUNK, axis=1)
+        w_c = jax.lax.dynamic_slice_in_dim(tower, s, _MXU_CHUNK, axis=1)
+        a1 = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)
+        a = jnp.concatenate([a1, a1 * w_c[..., None]], axis=-1)  # (B,C,2H)
+        bm = (lo_c[..., None] == iota_lo).astype(jnp.bfloat16)
+        return acc + jnp.einsum("bnh,bnl->bhl", a, bm,
+                                preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros((b, 2 * n_hi, _MXU_LO), jnp.float32)
+    acc = jax.lax.fori_loop(0, n // _MXU_CHUNK, chunk_body, acc)
+    counts = acc[:, :n_hi].reshape(b, n_hi * _MXU_LO)[:, :size]
+    tower_counts = acc[:, n_hi:].reshape(b, n_hi * _MXU_LO)[:, :size]
+    return counts, tower_counts
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "method"))
 def voxelize_batch_hist(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
+    method: str = "mxu",
 ) -> jnp.ndarray:
-    """Inference fast path: batched density grids only (single-channel
-    flat scatter — half the traffic of :func:`voxelize_batch`)."""
+    """Inference fast path: batched density grids only.
+
+    ``method='mxu'`` (default) computes the histogram as one-hot matmuls on
+    the systolic array; ``'scatter'`` uses the flat segment_sum."""
 
     def per_sample_flat(p, m):
         lo, hi = grid_bounds(p, m)
@@ -340,11 +446,14 @@ def voxelize_batch_hist(
     b, n = flat.shape
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
-    ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
-    vals = mask.reshape(-1).astype(jnp.float32)
-    sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
-    counts = sums.reshape(b, n_z, n_x, n_y)
+    if method == "mxu":
+        counts = _mxu_bin_counts(flat, mask, size).reshape(b, n_z, n_x, n_y)
+    else:
+        offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
+        ids = jnp.where(mask, flat + offs, b * size).reshape(-1)
+        vals = mask.reshape(-1).astype(jnp.float32)
+        sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
+        counts = sums.reshape(b, n_z, n_x, n_y)
     return jax.vmap(normalize_per_column)(counts)
 
 

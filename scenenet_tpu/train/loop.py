@@ -56,6 +56,8 @@ class TrainConfig:
     log_gradients: bool = True
     log_pointclouds_every: int = 0  # every N epochs export val sample PLYs (0 = off)
     use_wandb: bool = False
+    debug_nans: bool = False        # jax_debug_nans for the fit (SURVEY §5.2)
+    profile_dir: Optional[str] = None  # capture an xprof trace of epoch 0 (§5.1)
 
 
 def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
@@ -191,8 +193,14 @@ class Trainer:
             else None
         )
 
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
         epoch = 0
         while cfg.max_epochs < 0 or epoch < cfg.max_epochs:
+            if cfg.profile_dir and epoch == 1:
+                # trace the first post-compile epoch
+                jax.profiler.start_trace(cfg.profile_dir)
             t0 = time.time()
             mstate = init_metric_state()
             losses = []
@@ -247,6 +255,8 @@ class Trainer:
                 {"params": state.params, **(state.model_state or {})}
             ckpt.step(ckpt_tree, scores, epoch)
 
+            if cfg.profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
             if stopper is not None and stopper.update(scores):
                 break
             epoch += 1

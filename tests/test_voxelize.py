@@ -144,6 +144,20 @@ class TestDevicePath:
             np.testing.assert_allclose(np.asarray(hist_b[i]), np.asarray(h1), atol=1e-6)
             np.testing.assert_allclose(np.asarray(reg_b[i]), np.asarray(r1), atol=1e-6)
 
+    @pytest.mark.parametrize("grid", [(16, 16, 16), (64, 64, 64), (10, 10, 10)])
+    def test_mxu_histogram_matches_scatter(self, grid):
+        import jax.numpy as jnp
+
+        from scenenet_tpu.ops.voxelize import voxelize_batch_hist
+
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(0, 30, (3, 5000, 3)).astype(np.float32)
+        mask = np.ones((3, 5000), bool)
+        mask[1, 4000:] = False
+        a = voxelize_batch_hist(jnp.asarray(pts), jnp.asarray(mask), grid, "mxu")
+        b = voxelize_batch_hist(jnp.asarray(pts), jnp.asarray(mask), grid, "scatter")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_index_path_is_bit_exact(self, sample_clouds):
         import jax.numpy as jnp
 
