@@ -36,7 +36,8 @@ def build_criterion(cfg: ExperimentConfig):
 def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
     seed = cfg.seed if seed is None else seed
     if cfg.model == "scenenet":
-        return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed)
+        return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed,
+                               backend=getattr(cfg, "model_backend", "xla"))
     if cfg.model == "cnn":
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
                                   input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))

@@ -150,13 +150,10 @@ class SceneNet:
         lams = self.effective_lambdas(params).astype(x.dtype)
         if fuse_observers:
             combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
-            # the Pallas stencil keeps the whole padded sample volume in
-            # VMEM — guard against grids that would not fit (fall back to
-            # the XLA conv above ~96³)
-            vol_bytes = 4 * (x.shape[2] + self.kernel_size[0]) * \
-                (x.shape[3] + self.kernel_size[1]) * (x.shape[4] + self.kernel_size[2])
-            if self.backend == "pallas" and vol_bytes <= 4 * 1024 * 1024 \
-                    and x.shape[2] % min(16, x.shape[2]) == 0:
+            # the stencil kernel z-slabs the volume (VMEM-resident for
+            # small grids, HBM-streamed via DMA for 128³+); it requires Z
+            # divisible by the slab size
+            if self.backend == "pallas" and x.shape[2] % min(16, x.shape[2]) == 0:
                 from scenenet_tpu.ops.pallas_conv import fused_geneo_conv
 
                 return fused_geneo_conv(x.astype(jnp.float32),

@@ -75,18 +75,47 @@ def geneo_stencil_conv(
     kernel_fn = functools.partial(
         _stencil_kernel, kernel_size=(k_z, k_x, k_y), activation=activation
     )
+
+    vol_bytes = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1)
+    if vol_bytes <= 4 * 1024 * 1024:
+        # small grids (≤ ~96³): whole padded volume resident in VMEM
+        out = pl.pallas_call(
+            kernel_fn,
+            out_shape=jax.ShapeDtypeStruct((b, z, xx, yy), jnp.float32),
+            grid=(b, z // bz),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, z + k_z - 1, xx + k_x - 1, yy + k_y - 1),
+                    lambda i, j: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xp, kernel.astype(jnp.float32))
+        return out[:, None]
+
+    # large grids (128³+): stream overlapping z-slab windows from HBM via
+    # explicit DMA into a VMEM scratch (~(bz+k_z)·X·Y·4 bytes). DMA slice
+    # shapes must align to the (8, 128) f32 tile: pad sublane (x) and
+    # lane (y) dims.
+    x_pad8 = (-(xx + k_x - 1)) % 8
+    y_pad128 = (-(yy + k_y - 1)) % 128
+    if x_pad8 or y_pad128:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, x_pad8), (0, y_pad128)))
+    xp_shape = (xx + k_x - 1 + x_pad8, yy + k_y - 1 + y_pad128)
+    kernel_hbm = functools.partial(
+        _stencil_kernel_hbm, kernel_size=(k_z, k_x, k_y), activation=activation,
+        bz=bz, xp_shape=xp_shape,
+    )
     out = pl.pallas_call(
-        kernel_fn,
+        kernel_hbm,
         out_shape=jax.ShapeDtypeStruct((b, z, xx, yy), jnp.float32),
         grid=(b, z // bz),
         in_specs=[
-            # whole padded volume of the sample stays resident; the kernel
-            # slices its overlapping z-slab windows with dynamic offsets
-            pl.BlockSpec(
-                (1, z + k_z - 1, xx + k_x - 1, yy + k_y - 1),
-                lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
@@ -94,6 +123,36 @@ def geneo_stencil_conv(
         interpret=interpret,
     )(xp, kernel.astype(jnp.float32))
     return out[:, None]
+
+
+def _stencil_kernel_hbm(x_hbm, k_ref, o_ref, *, kernel_size, activation,
+                        bz, xp_shape):
+    """Large-grid variant: DMA one overlapping z-slab window per grid step."""
+    k_z, k_x, k_y = kernel_size
+
+    def body(scratch, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * bz, bz + k_z - 1)], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        _, z, x, y = o_ref.shape
+        o_ref[0] = jnp.zeros((z, x, y), jnp.float32)
+        for dz in range(k_z):
+            slab = scratch[pl.ds(dz, z)]
+            for dx in range(k_x):
+                for dy in range(k_y):
+                    o_ref[0] += slab[:, dx:dx + x, dy:dy + y] * k_ref[dz, dx, dy]
+        if activation:
+            o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((bz + k_z - 1, *xp_shape), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
 
 
 # ---------------------------------------------------------------------------

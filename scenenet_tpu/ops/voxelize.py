@@ -468,6 +468,19 @@ def voxelize_batch_from_indices(
     return _batch_from_flat(flat_idx, is_tower, mask, grid_shape)
 
 
+def gather_point_values(grid: jnp.ndarray, flat_idx: jnp.ndarray,
+                        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-point values from a dense (z,x,y) grid: the voxel→point gather
+    that turns grid predictions into point-level labels (BASELINE.json
+    config 2; the reference routes this through ``vxg_to_xyz`` + host
+    post-processing). Supports leading batch dims on both arguments."""
+    flat_grid = grid.reshape(*grid.shape[:-3], -1)
+    vals = jnp.take_along_axis(flat_grid, flat_idx, axis=-1)
+    if mask is not None:
+        vals = jnp.where(mask, vals, 0.0)
+    return vals
+
+
 def prob_to_label(grid: jnp.ndarray, tau: float) -> jnp.ndarray:
     """Threshold probabilities to {0,1} (reference ``voxelization.py:304-323``)."""
     return (grid >= tau).astype(grid.dtype)

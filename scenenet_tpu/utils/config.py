@@ -45,6 +45,7 @@ class ExperimentConfig:
 
     # model
     model: str = "scenenet"
+    model_backend: str = "xla"  # "xla" | "pallas" (TPU fused stencil conv)
     cylinder_geneo: int = 1
     arrow_geneo: int = 1
     neg_sphere_geneo: int = 1

@@ -32,6 +32,16 @@ class TestStencilConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
 
+    def test_hbm_streaming_path_large_grid(self):
+        # padded volume > 4MB triggers the DMA-streaming variant
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 1, 64, 96, 96)).astype(np.float32))
+        k = jnp.asarray(rng.random((9, 5, 5)).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
     def test_custom_vjp_matches_xla_grads(self):
         import jax
 
