@@ -141,7 +141,22 @@ def _tpu_throughput(clouds) -> float:
     return BATCH * ITERS / elapsed
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first-run compiles over the remote
+    tunnel take minutes; repeats should be instant."""
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/jax_compilation")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:
+        print(f"[bench] compile cache disabled: {exc}", file=sys.stderr)
+
+
 def main():
+    _enable_compile_cache()
     clouds = _load_clouds()
     cpu = _cpu_reference_throughput(clouds)
     print(f"[bench] CPU reference: {cpu:.2f} grids/s", file=sys.stderr)

@@ -73,8 +73,21 @@ def build_datasets(cfg: ExperimentConfig):
     return Subset(fit, train_idx), Subset(fit, val_idx), test
 
 
+def _enable_compile_cache():
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/jax_compilation")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run(cfg: ExperimentConfig) -> Dict[str, float]:
     fix_randomness(cfg.seed)
+    _enable_compile_cache()
     run_dir = os.path.join(cfg.output_dir, cfg.project)
     ckpt_dir = cfg.checkpoint_dir or os.path.join(run_dir, "checkpoints")
 

@@ -220,6 +220,22 @@ class TestDevicePath:
 
 
 class TestGridOps:
+    def test_gather_point_values(self):
+        import jax.numpy as jnp
+
+        from scenenet_tpu.ops.voxelize import gather_point_values
+
+        g = np.arange(64, dtype=np.float32).reshape(4, 4, 4)
+        idx = np.array([0, 5, 63, 10])
+        out = gather_point_values(jnp.asarray(g), jnp.asarray(idx))
+        np.testing.assert_allclose(np.asarray(out), [0, 5, 63, 10])
+        # batched + masked
+        gb = jnp.asarray(np.stack([g, g * 2]))
+        idxb = jnp.asarray(np.stack([idx, idx]))
+        mb = jnp.asarray([[True] * 4, [True, True, False, True]])
+        outb = gather_point_values(gb, idxb, mb)
+        np.testing.assert_allclose(np.asarray(outb[1]), [0, 10, 0, 20])
+
     def test_prob_to_label(self):
         g = np.array([[0.1, 0.65], [0.7, 0.64]])
         out = vnp.prob_to_label_np(g, 0.65)
