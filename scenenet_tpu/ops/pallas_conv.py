@@ -25,22 +25,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _stencil_kernel(x_ref, k_ref, o_ref, *, kernel_size: Tuple[int, int, int],
-                    activation: bool):
+def _stencil_kernel(x_ref, k_ref, o_ref, shift_ref, *,
+                    kernel_size: Tuple[int, int, int], activation: bool):
+    """Stencil body, shift-hoisted.
+
+    The (x, y) tap offsets are sublane/lane shifts — the expensive part of
+    a VPU stencil. Looping (dx, dy) on the outside materializes each
+    2D-shifted view ONCE into a VMEM scratch (k_x·k_y shifts total); the
+    inner z taps then read plain row-offset slices (the z dim is untiled,
+    so z slicing is free), turning ~k_z·k_x·k_y shift pairs into k_x·k_y.
+    Accumulation goes through the output VMEM ref — a register accumulator
+    over a large block spills catastrophically (~300 MB observed).
+    """
     k_z, k_x, k_y = kernel_size
     _, z, x, y = o_ref.shape
     base = pl.program_id(1) * z  # z-slab offset into the padded volume
-    # accumulate through the output VMEM ref (not a register-resident
-    # value): a fully-unrolled register accumulator over a large block
-    # spills catastrophically (~300 MB of spill slots observed)
+    zp = shift_ref.shape[0]
     o_ref[0] = jnp.zeros((z, x, y), jnp.float32)
-    for dz in range(k_z):
-        # keep one z-shifted slab live at a time; sweep its xy taps
-        slab = x_ref[0, pl.ds(base + dz, z)]
-        for dx in range(k_x):
-            for dy in range(k_y):
-                tap = k_ref[dz, dx, dy]
-                o_ref[0] += slab[:, dx:dx + x, dy:dy + y] * tap
+    for dx in range(k_x):
+        for dy in range(k_y):
+            shift_ref[...] = x_ref[0, pl.ds(base, zp), dx:dx + x, dy:dy + y]
+            for dz in range(k_z):
+                o_ref[0] += shift_ref[pl.ds(dz, z)] * k_ref[dz, dx, dy]
     if activation:
         o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
 
@@ -93,6 +99,7 @@ def geneo_stencil_conv(
             ],
             out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
             interpret=interpret,
         )(xp, kernel.astype(jnp.float32))
         return out[:, None]
@@ -130,7 +137,7 @@ def _stencil_kernel_hbm(x_hbm, k_ref, o_ref, *, kernel_size, activation,
     """Large-grid variant: DMA one overlapping z-slab window per grid step."""
     k_z, k_x, k_y = kernel_size
 
-    def body(scratch, sem):
+    def body(scratch, shift, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         dma = pltpu.make_async_copy(
@@ -140,17 +147,20 @@ def _stencil_kernel_hbm(x_hbm, k_ref, o_ref, *, kernel_size, activation,
         dma.wait()
         _, z, x, y = o_ref.shape
         o_ref[0] = jnp.zeros((z, x, y), jnp.float32)
-        for dz in range(k_z):
-            slab = scratch[pl.ds(dz, z)]
-            for dx in range(k_x):
-                for dy in range(k_y):
-                    o_ref[0] += slab[:, dx:dx + x, dy:dy + y] * k_ref[dz, dx, dy]
+        # shift-hoisted tap order (see _stencil_kernel)
+        for dx in range(k_x):
+            for dy in range(k_y):
+                shift[...] = scratch[:, dx:dx + x, dy:dy + y]
+                for dz in range(k_z):
+                    o_ref[0] += shift[pl.ds(dz, z)] * k_ref[dz, dx, dy]
         if activation:
             o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
 
+    _, z_out, x_out, y_out = o_ref.shape
     pl.run_scoped(
         body,
         scratch=pltpu.VMEM((bz + k_z - 1, *xp_shape), jnp.float32),
+        shift=pltpu.VMEM((bz + k_z - 1, x_out, y_out), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
