@@ -37,6 +37,7 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
     seed = cfg.seed if seed is None else seed
     if cfg.model == "scenenet":
         return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed,
+                               smart=getattr(cfg, "geneo_init", "random") == "smart",
                                backend=getattr(cfg, "model_backend", "xla"))
     if cfg.model == "cnn":
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,

@@ -50,6 +50,7 @@ class ExperimentConfig:
     arrow_geneo: int = 1
     neg_sphere_geneo: int = 1
     kernel_size: Tuple[int, int, int] = (9, 5, 5)
+    geneo_init: str = "random"  # "random" | "smart" (reference geneo_smart_config)
 
     # training
     optimizer: str = "adam"
