@@ -21,3 +21,22 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences: ``scenenet_tpu.SceneNet`` etc. without
+    importing jax at package import time."""
+    lazy = {
+        "SceneNet": ("scenenet_tpu.models", "SceneNet"),
+        "QuantileSceneNet": ("scenenet_tpu.models", "QuantileSceneNet"),
+        "Trainer": ("scenenet_tpu.train", "Trainer"),
+        "TrainConfig": ("scenenet_tpu.train", "TrainConfig"),
+        "resolve_criterion": ("scenenet_tpu.losses", "resolve_criterion"),
+        "load_config": ("scenenet_tpu.utils.config", "load_config"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

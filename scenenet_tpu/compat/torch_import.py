@@ -129,6 +129,29 @@ def import_scenenet_params(path: str, version: str = "v2"):
     return model, params
 
 
+def export_torch_state_dict(model, params, path: str) -> None:
+    """Inverse migration: write our SceneNet params as a torch state dict
+    with the reference's key layout (``model.geneos.<obs>.geneo_params.<p>``
+    / ``model.lambdas_dict.lambda_<obs>``), loadable by the reference's
+    Lightning wrapper."""
+    import torch
+
+    sd = {}
+    for name, _ in model.observers:
+        for p, v in params["geneo"][name].items():
+            sd[f"model.geneos.{name}.geneo_params.{p}"] = torch.tensor(float(v))
+    lams = model.effective_lambdas(params)
+    for ln, v in zip(model.lambda_names, lams):
+        sd[f"model.lambdas_dict.{ln}"] = torch.tensor(float(v))
+    torch.save({
+        "state_dict": sd,
+        "hyper_parameters": {
+            "geneo_num": dict(model.geneo_num),
+            "kernel_size": tuple(model.kernel_size),
+        },
+    }, path)
+
+
 def scan_model_zoo(root: str) -> List[Dict[str, Any]]:
     """Walk a directory tree of checkpoints and report what's loadable
     (reference ``observer_utils.py:658-723`` best-model search)."""

@@ -1,0 +1,62 @@
+"""Inference server: drive /healthz and /predict over a real socket."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from scenenet_tpu.cli.serve import _Pipeline, make_handler
+
+    pipeline = _Pipeline(None, grid=(16, 16, 16), max_points=4096)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+class TestServe:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as r:
+            info = json.loads(r.read())
+        assert info["model"] == "scenenet"
+        assert info["grid"] == [16, 16, 16]
+
+    def test_predict_roundtrip(self, server):
+        rng = np.random.default_rng(0)
+        points = rng.uniform(0, 30, (3000, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, points=points, tau=np.float32(0.5))
+        req = urllib.request.Request(f"{server}/predict", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert "X-Latency-Ms" in r.headers
+            out = np.load(io.BytesIO(r.read()))
+        assert out["point_probs"].shape == (3000,)
+        assert out["voxel_pred"].shape == (16, 16, 16)
+        assert set(np.unique(out["mask"])).issubset({0.0, 1.0})
+
+    def test_export_torch_state_dict_roundtrip(self, tmp_path):
+        import torch
+
+        from scenenet_tpu.compat import import_scenenet_params
+        from scenenet_tpu.compat.torch_import import export_torch_state_dict
+        from scenenet_tpu.models import SceneNet
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        path = str(tmp_path / "export.ckpt")
+        export_torch_state_dict(net, params, path)
+        # reimport through the Lightning-ckpt path
+        model2, params2 = import_scenenet_params(path)
+        np.testing.assert_allclose(
+            np.asarray(net.effective_lambdas(params)),
+            np.asarray(model2.effective_lambdas(params2)), atol=1e-6)
+        assert float(params2["geneo"]["cy_0"]["radius"]) == pytest.approx(
+            float(params["geneo"]["cy_0"]["radius"]))
