@@ -27,7 +27,7 @@ U[−2/n, 1/n] (``:279-282``); the legacy ``SCENE_Net`` uses v1 kernels with
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -78,13 +78,13 @@ def geneo_stencil_conv(
     # (slab + kz-1 halo planes) are re-fetched by the pipeline
     bz = min(16, z)
     assert z % bz == 0, f"Z={z} must be divisible by the z-slab {bz}"
-    kernel_fn = functools.partial(
-        _stencil_kernel, kernel_size=(k_z, k_x, k_y), activation=activation
-    )
 
     vol_bytes = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1)
     if vol_bytes <= 4 * 1024 * 1024:
         # small grids (≤ ~96³): whole padded volume resident in VMEM
+        kernel_fn = functools.partial(
+            _stencil_kernel, kernel_size=(k_z, k_x, k_y), activation=activation
+        )
         out = pl.pallas_call(
             kernel_fn,
             out_shape=jax.ShapeDtypeStruct((b, z, xx, yy), jnp.float32),

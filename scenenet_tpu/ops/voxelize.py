@@ -29,7 +29,7 @@ compute here.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -334,6 +334,18 @@ _MXU_LO = 512     # low-half one-hot width (4 × 128 lanes)
 _MXU_CHUNK = 4096  # points per accumulation chunk
 
 
+def _live_chunks(mask: jnp.ndarray, n_padded: int) -> jnp.ndarray:
+    """Traced chunk-loop bound: padded points are contiguous at the tail of
+    every sample, so chunks past the longest sample's extent contribute
+    nothing — skip them (real clouds are often well short of the pad;
+    fori_loop accepts a traced bound)."""
+    longest = jnp.max(jnp.sum(mask, axis=1))
+    full = jnp.asarray(n_padded // _MXU_CHUNK, jnp.int32)
+    return jnp.minimum(
+        ((longest + _MXU_CHUNK - 1) // _MXU_CHUNK).astype(jnp.int32), full
+    )
+
+
 def _mxu_bin_counts(
     flat: jnp.ndarray,
     mask: jnp.ndarray,
@@ -381,7 +393,7 @@ def _mxu_bin_counts(
                                 preferred_element_type=jnp.float32)
 
     acc = jnp.zeros((b, n_hi, _MXU_LO), jnp.float32)
-    acc = jax.lax.fori_loop(0, n // _MXU_CHUNK, chunk_body, acc)
+    acc = jax.lax.fori_loop(0, _live_chunks(mask, n), chunk_body, acc)
     return acc.reshape(b, n_hi * _MXU_LO)[:, :size]
 
 
@@ -420,7 +432,7 @@ def _mxu_bin_counts2(
                                 preferred_element_type=jnp.float32)
 
     acc = jnp.zeros((b, 2 * n_hi, _MXU_LO), jnp.float32)
-    acc = jax.lax.fori_loop(0, n // _MXU_CHUNK, chunk_body, acc)
+    acc = jax.lax.fori_loop(0, _live_chunks(mask, n), chunk_body, acc)
     counts = acc[:, :n_hi].reshape(b, n_hi * _MXU_LO)[:, :size]
     tower_counts = acc[:, n_hi:].reshape(b, n_hi * _MXU_LO)[:, :size]
     return counts, tower_counts
