@@ -128,7 +128,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
 
         batch_prep = make_device_voxelize_prep(cfg.voxel_grid_size,
                                                tuple(cfg.keep_labels))
-    trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
+    if getattr(cfg, "constrained", "penalty") == "admm":
+        from scenenet_tpu.train.admm import ADMMConfig, ADMMTrainer
+
+        acfg = ADMMConfig(**{**tcfg.__dict__, "admm_rho": cfg.admm_rho})
+        trainer = ADMMTrainer(model, criterion, acfg, batch_prep=batch_prep)
+    else:
+        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
     final_params, best = trainer.fit(params, train_loader,
                                      val_loader if len(val_ds) else None)
 

@@ -82,12 +82,16 @@ class ADMMTrainer:
 
     def __init__(self, model, criterion, config: ADMMConfig, logger=None,
                  batch_prep=None):
+        from scenenet_tpu.utils.logging import RunLogger
+
         self.model = model
         self.criterion = criterion
         self.config = config
-        self.logger = logger
+        self.logger = logger or RunLogger(config.run_dir,
+                                          use_wandb=config.use_wandb)
         self.batch_prep = batch_prep
         self.history = []
+        self._inner: Optional[Trainer] = None
 
     def fit(self, params, train_loader, val_loader=None):
         mu = jnp.zeros(_constraint_values(self.model, params).shape[0])
@@ -110,4 +114,22 @@ class ADMMTrainer:
                 **{k: v for k, v in best.items() if "loss" in k},
             })
         self.best = inner.best if inner else None
+        self._inner = inner
         return final, best
+
+    # delegate post-fit operations to the last primal trainer
+    def evaluate(self, params, loader, prefix="test"):
+        inner = self._inner or Trainer(self.model, self.criterion, self.config,
+                                       logger=self.logger,
+                                       batch_prep=self.batch_prep)
+        return inner.evaluate(params, loader, prefix)
+
+    def predict(self, params, loader):
+        inner = self._inner or Trainer(self.model, self.criterion, self.config,
+                                       logger=self.logger,
+                                       batch_prep=self.batch_prep)
+        return inner.predict(params, loader)
+
+    def restore_best(self, metric, template):
+        assert self._inner is not None, "fit first"
+        return self._inner.restore_best(metric, template)

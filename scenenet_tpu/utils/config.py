@@ -55,6 +55,11 @@ class ExperimentConfig:
     # training
     optimizer: str = "adam"
     learning_rate: float = 1e-3
+    # constrained-training mode: "penalty" (reference hinge penalties inside
+    # the GENEO losses) or "admm" (augmented-Lagrangian solver; reference
+    # admm_config.yml ships the config but no solver)
+    constrained: str = "penalty"
+    admm_rho: float = 1.0
     max_epochs: int = 20
     early_stop_metric: Optional[str] = "train_FBetaScore"
     early_stop_patience: int = 25

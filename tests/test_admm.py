@@ -18,6 +18,26 @@ def _batches(n=2, seed=0):
     ]
 
 
+class TestADMMCLI:
+    def test_cli_admm_mode(self, tmp_path, small_cloud):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "ds"
+        for split in ("fit", "test"):
+            (root / split).mkdir(parents=True)
+            for i in range(4):
+                np.save(root / split / f"s{i}.npy", small_cloud)
+        cfg = ExperimentConfig(
+            data_path=str(root), output_dir=str(tmp_path / "out"),
+            batch_size=2, voxel_grid_size=(12, 12, 12), max_epochs=2,
+            num_workers=1, early_stop_metric=None, val_split=0.3,
+            device_voxelization=False, constrained="admm", admm_rho=2.0,
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+
+
 class TestADMM:
     def test_reduces_constraint_violation(self, tmp_path):
         # seed 5 draws a negative λ at init (v2 init range is [-2/n, 1/n])
