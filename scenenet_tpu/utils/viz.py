@@ -89,6 +89,27 @@ def write_ply(path: str, points: np.ndarray) -> None:
             f.write(line + "\n")
 
 
+def proposals_to_points(centroids_xy: np.ndarray, z_range=(0, 63),
+                        color=(1.0, 0.0, 1.0)) -> np.ndarray:
+    """Tower-proposal xy coordinates → vertical marker columns (N, 6), for
+    overlaying proposals on an exported cloud (reference ``plot_centroids``,
+    ``observer_utils.py:585-...``)."""
+    cols = []
+    for cx, cy in np.asarray(centroids_xy).reshape(-1, 2):
+        zs = np.arange(z_range[0], z_range[1] + 1)
+        col = np.column_stack([
+            np.full_like(zs, cx, dtype=np.float64),
+            np.full_like(zs, cy, dtype=np.float64),
+            zs.astype(np.float64),
+        ])
+        cols.append(col)
+    if not cols:
+        return np.empty((0, 6))
+    xyz = np.concatenate(cols)
+    rgb = np.tile(np.asarray(color), (len(xyz), 1))
+    return np.concatenate([xyz, rgb], axis=1)
+
+
 def quantile_uncertainty_points(quantile_grids: np.ndarray) -> np.ndarray:
     """q_hi − q_lo spread grid → ranges-colored points (reference
     ``plot_quantile_uncertainty``, ``voxelization.py:147-155``)."""
