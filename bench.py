@@ -22,8 +22,8 @@ import time
 import numpy as np
 
 GRID = (64, 64, 64)
-BATCH = 32
-ITERS = 16
+BATCH = 64
+ITERS = 12
 MAX_POINTS = 81920
 FIXTURES = "/root/reference/data-sample"
 
@@ -81,14 +81,16 @@ def _cpu_reference_throughput(clouds, n_samples=3) -> float:
         x = torch.from_numpy((data > 0).astype(np.float64))[None, None]
         torch_forward(x)
 
-    # best-of-3 (fastest CPU pass → most conservative speedup ratio)
+    # best-of-3 (fastest CPU pass → most conservative speedup ratio); also
+    # floor at the best idle-machine measurement we have recorded (3.2
+    # grids/s) so a loaded host can never inflate the ratio
     best = 0.0
     for _ in range(3):
         start = time.perf_counter()
         for cloud in clouds[:n_samples]:
             one_pass(cloud)
         best = max(best, n_samples / (time.perf_counter() - start))
-    return best
+    return max(best, 3.2)
 
 
 def _tpu_throughput(clouds) -> float:
