@@ -84,6 +84,64 @@ class ToFullDense:
         )
 
 
+class RandomRotateZ:
+    """Random rotation about the vertical axis (pre-voxelization).
+
+    Towers are z-aligned structures, so z-rotation is the natural
+    label-preserving augmentation for this task (the reference ships no
+    augmentation at all). Deterministic per (seed, call index).
+    """
+
+    def __init__(self, seed: int = 0, max_angle: float = np.pi):
+        self.rng = np.random.default_rng(seed)
+        self.max_angle = max_angle
+
+    def __call__(self, sample):
+        pts, labels = sample
+        theta = self.rng.uniform(-self.max_angle, self.max_angle)
+        c, s = np.cos(theta), np.sin(theta)
+        center = pts.mean(axis=0)
+        rel = pts - center
+        rot = np.column_stack([
+            rel[:, 0] * c - rel[:, 1] * s,
+            rel[:, 0] * s + rel[:, 1] * c,
+            rel[:, 2],
+        ])
+        return rot + center, labels
+
+
+class RandomFlip:
+    """Random mirror over the x and/or y axis (about the cloud centroid)."""
+
+    def __init__(self, seed: int = 0, p: float = 0.5):
+        self.rng = np.random.default_rng(seed)
+        self.p = p
+
+    def __call__(self, sample):
+        pts, labels = sample
+        pts = np.array(pts, copy=True)
+        center = pts.mean(axis=0)
+        for axis in (0, 1):
+            if self.rng.random() < self.p:
+                pts[:, axis] = 2 * center[axis] - pts[:, axis]
+        return pts, labels
+
+
+class Jitter:
+    """Gaussian coordinate noise, clipped (classic point-cloud jitter)."""
+
+    def __init__(self, sigma: float = 0.01, clip: float = 0.05, seed: int = 0):
+        self.sigma = sigma
+        self.clip = clip
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, sample):
+        pts, labels = sample
+        noise = np.clip(self.rng.normal(0, self.sigma, pts.shape),
+                        -self.clip, self.clip)
+        return pts + noise, labels
+
+
 class AddPad:
     """Zero-pad both grids; ``pad`` is ((z_lo, z_hi), (x_lo, x_hi),
     (y_lo, y_hi)) applied after the channel dim (reference ``AddPad``,

@@ -172,6 +172,64 @@ class TestTS40KDataset:
         assert not set(train) & set(val)
 
 
+class TestAugmentation:
+    def test_rotate_z_preserves_heights_and_distances(self, small_cloud):
+        from scenenet_tpu.data import RandomRotateZ
+
+        pts, labels = small_cloud[:, :3], small_cloud[:, 3]
+        rot_pts, rot_labels = RandomRotateZ(seed=1)((pts, labels))
+        np.testing.assert_allclose(rot_pts[:, 2], pts[:, 2], atol=1e-9)
+        np.testing.assert_array_equal(rot_labels, labels)
+        # pairwise xy distances preserved (rigid rotation)
+        d0 = np.linalg.norm(pts[0, :2] - pts[100, :2])
+        d1 = np.linalg.norm(rot_pts[0, :2] - rot_pts[100, :2])
+        assert d0 == pytest.approx(d1, rel=1e-9)
+
+    def test_flip_involution_of_extent(self, small_cloud):
+        from scenenet_tpu.data import RandomFlip
+
+        pts = small_cloud[:, :3]
+        out, _ = RandomFlip(seed=0, p=1.0)((pts, small_cloud[:, 3]))
+        # mirroring about the centroid preserves extent and pair distances
+        np.testing.assert_allclose(out[:, 0].max() - out[:, 0].min(),
+                                   pts[:, 0].max() - pts[:, 0].min(), atol=1e-9)
+        d0 = np.linalg.norm(pts[0] - pts[50])
+        d1 = np.linalg.norm(out[0] - out[50])
+        assert d0 == pytest.approx(d1, rel=1e-9)
+
+    def test_jitter_bounded(self, small_cloud):
+        from scenenet_tpu.data import Jitter
+
+        pts = small_cloud[:, :3]
+        out, _ = Jitter(sigma=0.01, clip=0.03, seed=0)((pts, small_cloud[:, 3]))
+        assert np.abs(out - pts).max() <= 0.03 + 1e-12
+
+
+class TestCachedDataset:
+    def test_cache_hit_matches_and_persists(self, tmp_path, small_cloud):
+        from scenenet_tpu.data import CachedDataset, Compose, ToFullDense, Voxelization
+
+        calls = {"n": 0}
+
+        class DS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                calls["n"] += 1
+                t = Compose([Voxelization([15], vxg_size=(8, 8, 8)), ToFullDense()])
+                return t((small_cloud[:, :3], small_cloud[:, 3]))
+
+        ds = CachedDataset(DS(), str(tmp_path / "cache"))
+        a = ds[0]
+        b = ds[0]  # cache hit
+        assert calls["n"] == 1
+        np.testing.assert_array_equal(a[0], b[0])
+        ds.warm()
+        assert calls["n"] == 3
+        assert len(os.listdir(tmp_path / "cache")) == 3
+
+
 class TestLAS:
     def test_roundtrip(self, tmp_path, small_cloud):
         path = str(tmp_path / "test.las")
