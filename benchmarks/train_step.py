@@ -27,7 +27,8 @@ def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8):
     from scenenet_tpu.train.metrics import init_metric_state, update_metrics
     from scenenet_tpu.train.state import create_train_state
 
-    net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+    net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                  backend="pallas")
     crit = resolve_criterion("geneo_tversky")(
         weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
         tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)

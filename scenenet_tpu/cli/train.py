@@ -36,9 +36,14 @@ def build_criterion(cfg: ExperimentConfig):
 def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
     seed = cfg.seed if seed is None else seed
     if cfg.model == "scenenet":
+        backend = getattr(cfg, "model_backend", "auto")
+        if backend == "auto":
+            import jax
+
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed,
                                smart=getattr(cfg, "geneo_init", "random") == "smart",
-                               backend=getattr(cfg, "model_backend", "xla"))
+                               backend=backend)
     if cfg.model == "cnn":
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
                                   input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))

@@ -45,7 +45,9 @@ class ExperimentConfig:
 
     # model
     model: str = "scenenet"
-    model_backend: str = "xla"  # "xla" | "pallas" (TPU fused stencil conv)
+    # "auto" → pallas on TPU, xla elsewhere. The fused Pallas stencil is
+    # 4.1× the XLA conv for the full train step (see benchmarks/RESULTS.md)
+    model_backend: str = "auto"  # "auto" | "xla" | "pallas"
     cylinder_geneo: int = 1
     arrow_geneo: int = 1
     neg_sphere_geneo: int = 1
