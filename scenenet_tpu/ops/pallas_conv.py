@@ -194,14 +194,22 @@ def _fused_bwd(interpret, res, g):
     # d relu(tanh(c)) / dc = 1 - tanh(c)^2 where tanh(c) > 0; out = relu(tanh(c))
     act_grad = g * jnp.where(out > 0, 1.0 - out * out, 0.0)
 
-    # dx: correlation with the flipped kernel, SAME pads mirrored
+    # dx: correlation with the flipped kernel, SAME pads mirrored. For
+    # all-odd kernels the mirrored pads equal the forward pads, so the fast
+    # Pallas stencil applies directly (the slow XLA stencil conv here was
+    # the dominant cost of the whole train step).
     flipped = kernel[::-1, ::-1, ::-1]
-    pads = [(hi, lo) for (lo, hi) in _same_pads((k_z, k_x, k_y))]
-    dx = lax.conv_general_dilated(
-        act_grad, flipped[None, None], (1, 1, 1), pads,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
-    )
+    all_odd = (k_z % 2) and (k_x % 2) and (k_y % 2)
+    z_ok = act_grad.shape[2] % min(16, act_grad.shape[2]) == 0
+    if all_odd and z_ok and not interpret:
+        dx = geneo_stencil_conv(act_grad, flipped, activation=False)
+    else:
+        pads = [(hi, lo) for (lo, hi) in _same_pads((k_z, k_x, k_y))]
+        dx = lax.conv_general_dilated(
+            act_grad, flipped[None, None], (1, 1, 1), pads,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            preferred_element_type=jnp.float32,
+        )
 
     # dk[dz,dx,dy] = Σ_{b,z,x,y} x_pad[b, z+dz, ...] · act_grad[b, z, ...]
     # expressed as a conv with the batch dim playing the input-feature role
