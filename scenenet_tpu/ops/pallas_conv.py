@@ -5,13 +5,22 @@ grid with one small combined GENEO kernel (k ≈ (9,5,5)), followed by
 relu∘tanh. XLA lowers this 1-in/1-out-channel conv poorly on the MXU (no
 contraction depth), leaving it HBM-bound: every tap re-reads the volume.
 
-This kernel keeps one whole padded sample volume in VMEM (≈1.3 MB ≪ 16 MB),
-unrolls the k_z·k_x·k_y taps as VPU multiply-adds over in-register shifted
-views, applies relu(tanh(·)) in place, and writes each output voxel exactly
-once — ~2 HBM touches per element instead of ~2·k.
+Kernels here (all validated in interpret mode on CPU and exactness-tested
+against the XLA formulations):
 
-Grid: one program per batch sample. Kernel taps are read from VMEM as
-scalars (static indices). Works in interpret mode on CPU for tests.
+- ``geneo_stencil_conv`` — forward: padded volume resident in VMEM (small
+  grids) or HBM-streamed z-slab DMA (128³+), shift-hoisted taps (k_x·k_y
+  sublane/lane shifts instead of k_z·k_x·k_y), fused relu∘tanh, each
+  output voxel written once.
+- ``stencil_dk`` — kernel gradient as x-batched plane-dot matmuls + masked
+  diagonal contraction (MXU), accumulated in a grid-revisited VMEM block.
+- ``fused_geneo_conv`` — custom-VJP composition: Pallas forward, Pallas
+  dx (mirrored stencil, exact for odd kernels) and Pallas dk, with XLA
+  conv fallbacks for shapes the kernels don't cover.
+
+Measured on a v5e (batch 16-32, 64³, kernel (9,5,5)): forward 2.4 ms/32
+(13.5× the XLA conv), full train step 95 → 17.9 ms (see
+benchmarks/RESULTS.md).
 """
 
 from __future__ import annotations
@@ -216,8 +225,8 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel-gradient for the SAME stencil conv: x, g (B,1,Z,X,Y) →
     dk (k_z,k_x,k_y). The XLA batch-as-feature conv formulation measures
-    ~12 ms per batch-16 step on a v5e — the dominant train-step cost —
-    versus ~2 ms for this kernel."""
+    ~12 ms per batch-16 step on a v5e — it dominated the train step; this
+    kernel cuts the full step from 23.4 to 17.9 ms."""
     b, _, z, xx, yy = x.shape
     k_z, k_x, k_y = kernel_size
     pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in kernel_size]
@@ -245,8 +254,8 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Differentiable fused conv+activation (custom VJP: Pallas forward, XLA
-# backward — the backward runs once per step and reuses stock conv kernels)
+# Differentiable fused conv+activation (custom VJP: Pallas forward, Pallas
+# dx/dk where shapes allow, XLA conv fallbacks otherwise)
 # ---------------------------------------------------------------------------
 
 def _same_pads(shape: Tuple[int, int, int]):
