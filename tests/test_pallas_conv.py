@@ -62,6 +62,25 @@ class TestStencilConv:
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
                                    atol=1e-3, rtol=1e-4)
 
+    def test_stencil_dk_matches_xla(self):
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import stencil_dk
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.random((2, 1, 16, 16, 16)).astype(np.float32))
+        g = jnp.asarray(rng.random((2, 1, 16, 16, 16)).astype(np.float32))
+        ks = (9, 5, 5)
+        dk = stencil_dk(x, g, ks, interpret=True)
+        pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in ks]
+        xp = jnp.asarray(np.pad(np.asarray(x), pads))
+        ref = lax.conv_general_dilated(
+            xp[:, 0][None], jnp.swapaxes(g[:, 0][:, None], 0, 1),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
     def test_scenenet_forward_pallas_matches_apply(self):
         net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
         rng = np.random.default_rng(2)
