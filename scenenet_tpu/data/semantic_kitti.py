@@ -124,6 +124,20 @@ class SemanticKITTICrops:
             return self.transform(dummy) if self.transform else (
                 np.zeros((1, 100, 3)), np.zeros((1, 100)))
 
+    def get_item_no_transform(self, idx: int):
+        """Raw (1, N, 3)/(1, N) access bypassing the transform
+        (reference ``semKITTI.py:262-274``)."""
+        try:
+            npy = np.load(os.path.join(self.dataset_path, self.npy_files[idx]))
+            return npy[None, :, 0:3], npy[None, :, 3]
+        except Exception:
+            return np.zeros((1, 100, 3)), np.zeros((1, 100))
+
+    def get_item_from_path(self, idx: int):
+        """Access ``sample_{idx}.npy`` by name (reference ``semKITTI.py:276-284``)."""
+        npy = np.load(os.path.join(self.dataset_path, f"sample_{idx}.npy"))
+        return npy[None, :, 0:3], npy[None, :, 3]
+
 
 def crop_pole_samples(xyz: np.ndarray, classes: np.ndarray,
                       obj_class=(POLE_LABEL,)) -> List[np.ndarray]:

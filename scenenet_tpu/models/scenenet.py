@@ -203,6 +203,15 @@ class SceneNet:
         lam = {ln: ln != self.last_lambda for ln in self.lambda_names}
         return {"geneo": geneo, "lambdas": lam}
 
+    def num_trainable_params(self, params: Mapping) -> int:
+        """Trainable scalar count (reference ``get_num_total_params``,
+        ``SCENE_Net.py:302-303`` — the recorded run reports 11/13)."""
+        mask = self.trainable_mask(params)
+        return int(sum(bool(m) for m in jax.tree.leaves(mask)))
+
+    def num_total_params(self, params: Mapping) -> int:
+        return len(jax.tree.leaves(params))
+
     def parameters_in_dict(self, params: Mapping) -> Dict[str, float]:
         """Scalar snapshot for interpretability logging (reference
         ``get_model_parameters_in_dict``, ``SCENE_Net.py:313-319``), with the
