@@ -24,6 +24,9 @@ def main():
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--grid", type=int, default=128)
     parser.add_argument("--iters", type=int, default=4)
+    parser.add_argument("--backend", choices=("xla", "pallas"), default="pallas",
+                        help="local conv: XLA conv vs fused Pallas stencil "
+                             "(HBM-streamed at 128³; VERDICT r1 #2)")
     args = parser.parse_args()
 
     import jax
@@ -40,7 +43,8 @@ def main():
 
     # wider observer bank (config 5)
     net, params = SceneNet.create({"cy": 3, "cone": 3, "neg": 2},
-                                  kernel_size=(9, 7, 7), seed=0)
+                                  kernel_size=(9, 7, 7), seed=0,
+                                  backend=args.backend)
     run = make_dp_inference_fn(net, mesh,
                                space_axis="space" if args.space > 1 else None)
 

@@ -1,0 +1,103 @@
+"""Import the ACTUAL reference implementation as a test oracle.
+
+VERDICT r1 #4: hand-transcribed torch oracles can share a misreading with
+the implementation under test. This module imports the real reference
+modules (``/root/reference/core/models/geneos/*.py``,
+``core/models/SCENE_Net.py``) by stubbing only the heavy dependencies the
+environment doesn't ship (sympytorch / pyntcloud / laspy / open3d) — the
+same tolerance trick :mod:`scenenet_tpu.compat.torch_import` uses for
+unpicklable classes. The reference kernels never touch those packages on
+the synthesis path (they're imported for plotting / notebook cells).
+
+The loader is read-only with respect to the reference tree and degrades
+gracefully: :func:`load_reference` returns ``None`` when the tree is
+absent, so parity tests can ``pytest.skip``.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import types
+from typing import Optional
+
+REFERENCE_ROOT = "/root/reference"
+
+# packages the reference imports at module top that this image doesn't
+# ship; none of them participate in kernel synthesis or the forward pass
+_STUB_MODULES = ("sympytorch", "pyntcloud", "laspy", "open3d")
+
+
+class _StubAny:
+    """Inert stand-in: constructible, callable, attribute-transparent."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        return self
+
+    def __getattr__(self, name):
+        return _StubAny()
+
+
+def _install_stubs() -> None:
+    for name in _STUB_MODULES:
+        if name in sys.modules:
+            continue
+        try:
+            importlib.import_module(name)
+            continue
+        except ImportError:
+            pass
+        mod = types.ModuleType(name)
+
+        # PEP 562 module __getattr__: every non-dunder attribute resolves
+        # to a stub; dunders (``__file__`` etc) must raise AttributeError
+        # or stdlib inspect/import machinery chokes on stub values
+        def _module_getattr(attr):
+            if attr.startswith("__") and attr.endswith("__"):
+                raise AttributeError(attr)
+            return _StubAny()
+
+        mod.__getattr__ = _module_getattr
+        sys.modules[name] = mod
+
+
+_cache: Optional[types.SimpleNamespace] = None
+
+
+def load_reference(root: str = REFERENCE_ROOT) -> Optional[types.SimpleNamespace]:
+    """Import the reference geneo + SCENE_Net modules; None if absent.
+
+    Returns a namespace with ``cylinder``, ``arrow``, ``neg_sphere``,
+    ``scene_net`` (the real modules). NOTE: the reference uses generic
+    top-level package names (``core``, ``utils``, ``scripts``) — they stay
+    in ``sys.modules`` after this call. Nothing in this repo or its deps
+    uses those names as top-level imports.
+    """
+    global _cache
+    if _cache is not None:
+        return _cache
+    if not os.path.isdir(os.path.join(root, "core")):
+        return None
+    os.environ.setdefault("MPLBACKEND", "Agg")  # headless matplotlib
+    _install_stubs()
+    added = False
+    if root not in sys.path:
+        sys.path.insert(0, root)
+        added = True
+    try:
+        cylinder = importlib.import_module("core.models.geneos.cylinder")
+        arrow = importlib.import_module("core.models.geneos.arrow")
+        neg_sphere = importlib.import_module("core.models.geneos.neg_sphere")
+        scene_net = importlib.import_module("core.models.SCENE_Net")
+    finally:
+        if added:
+            sys.path.remove(root)
+    _cache = types.SimpleNamespace(
+        cylinder=cylinder, arrow=arrow, neg_sphere=neg_sphere,
+        scene_net=scene_net,
+    )
+    return _cache

@@ -151,9 +151,9 @@ class SceneNet:
         if fuse_observers:
             combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
             # the stencil kernel z-slabs the volume (VMEM-resident for
-            # small grids, HBM-streamed via DMA for 128³+); it requires Z
-            # divisible by the slab size
-            if self.backend == "pallas" and x.shape[2] % min(16, x.shape[2]) == 0:
+            # small grids, HBM-streamed via DMA for 128³+); any Z works —
+            # non-slab-divisible extents are padded internally
+            if self.backend == "pallas":
                 from scenenet_tpu.ops.pallas_conv import fused_geneo_conv
 
                 return fused_geneo_conv(x.astype(jnp.float32),

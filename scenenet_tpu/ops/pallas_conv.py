@@ -60,11 +60,28 @@ def _stencil_kernel(x_ref, k_ref, o_ref, shift_ref, *,
         o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "interpret"))
+def _pick_slab(z_out: int) -> Tuple[int, int]:
+    """Choose the z-slab size and trailing zero-pad for a Z extent.
+
+    Prefers an exact divisor in [8, 16] (no wasted planes); otherwise pads
+    Z up to a multiple of 16 (computed-then-sliced planes read only the
+    zero padding, so results are exact for any Z)."""
+    bz = min(16, z_out)
+    if z_out % bz == 0:
+        return bz, 0
+    for cand in range(min(16, z_out), 7, -1):
+        if z_out % cand == 0:
+            return cand, 0
+    return bz, (-z_out) % bz
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "z_prepadded",
+                                             "interpret"))
 def geneo_stencil_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     activation: bool = True,
+    z_prepadded: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused SAME conv + (optional) relu∘tanh.
@@ -74,19 +91,33 @@ def geneo_stencil_conv(
 
     SAME padding follows torch's asymmetric rule (low = (k−1)//2,
     high = k//2), matching :func:`scenenet_tpu.ops.conv3d.conv3d_same`.
+
+    ``z_prepadded=True`` treats the input's z extent as already carrying
+    the k_z−1 halo planes (low = (k_z−1)//2, high = k_z//2) — the
+    spatially-sharded halo-exchange path (``parallel/spatial.py``) — and
+    returns z = Z − (k_z − 1) output planes (VALID z, SAME x/y).
+
+    Any Z is supported: extents that don't divide into a z-slab are
+    zero-padded internally and sliced back (exact — the extra output
+    planes read only zeros).
     """
     b, c, z, xx, yy = x.shape
     assert c == 1, "fused stencil path is single-channel"
     k_z, k_x, k_y = kernel.shape
-    pads = [(0, 0), (0, 0)] + [
-        ((k - 1) // 2, k // 2) for k in (k_z, k_x, k_y)
+    z_out = z - (k_z - 1) if z_prepadded else z
+    assert z_out >= 1, f"Z={z} too small for kernel z={k_z} (prepadded)"
+    zpads = (0, 0) if z_prepadded else ((k_z - 1) // 2, k_z // 2)
+    pads = [(0, 0), (0, 0), zpads] + [
+        ((k - 1) // 2, k // 2) for k in (k_x, k_y)
     ]
-    xp = jnp.pad(x, pads)[:, 0]  # (B, Z+kz-1, X+kx-1, Y+ky-1)
+    xp = jnp.pad(x, pads)[:, 0]  # (B, Z_out+kz-1, X+kx-1, Y+ky-1)
 
     # z-slab blocking bounds VMEM working set; overlapping input windows
     # (slab + kz-1 halo planes) are re-fetched by the pipeline
-    bz = min(16, z)
-    assert z % bz == 0, f"Z={z} must be divisible by the z-slab {bz}"
+    bz, zpad = _pick_slab(z_out)
+    if zpad:
+        xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
+    z = z_out + zpad
 
     vol_bytes = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1)
     if vol_bytes <= 4 * 1024 * 1024:
@@ -111,66 +142,80 @@ def geneo_stencil_conv(
             scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
             interpret=interpret,
         )(xp, kernel.astype(jnp.float32))
-        return out[:, None]
+        return out[:, None, :z_out] if zpad else out[:, None]
 
     # large grids (128³+): stream overlapping z-slab windows from HBM via
-    # explicit DMA into a VMEM scratch (~(bz+k_z)·X·Y·4 bytes). DMA slice
-    # shapes must align to the (8, 128) f32 tile: pad sublane (x) and
-    # lane (y) dims.
-    x_pad8 = (-(xx + k_x - 1)) % 8
-    y_pad128 = (-(yy + k_y - 1)) % 128
-    if x_pad8 or y_pad128:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, x_pad8), (0, y_pad128)))
-    xp_shape = (xx + k_x - 1 + x_pad8, yy + k_y - 1 + y_pad128)
+    # explicit DMA into a VMEM scratch, compute the output slab in VMEM and
+    # DMA it back out — the output ref lives in HBM too, so VMEM holds only
+    # the scratches (the blocked-output form stack-allocated the FULL
+    # output array in VMEM: 33.5 MB at batch-4 128³, a scoped-vmem OOM).
+    # DMA'd planes must align to the (8, 128) f32 tile: pad the output x/y
+    # up to (8, 128) multiples and the input window to cover the padded
+    # output's taps.
+    ox = xx + ((-xx) % 8)
+    oy = yy + ((-yy) % 128)
+    xp_x = ox + k_x - 1 + ((-(ox + k_x - 1)) % 8)
+    xp_y = oy + k_y - 1 + ((-(oy + k_y - 1)) % 128)
+    xp = jnp.pad(xp, ((0, 0), (0, 0),
+                      (0, xp_x - (xx + k_x - 1)), (0, xp_y - (yy + k_y - 1))))
     kernel_hbm = functools.partial(
         _stencil_kernel_hbm, kernel_size=(k_z, k_x, k_y), activation=activation,
-        bz=bz, xp_shape=xp_shape,
+        bz=bz, xp_shape=(xp_x, xp_y),
     )
     out = pl.pallas_call(
         kernel_hbm,
-        out_shape=jax.ShapeDtypeStruct((b, z, xx, yy), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, z, ox, oy), jnp.float32),
         grid=(b, z // bz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, kernel.astype(jnp.float32))
-    return out[:, None]
+    return out[:, None, :z_out, :xx, :yy]
 
 
-def _stencil_kernel_hbm(x_hbm, k_ref, o_ref, *, kernel_size, activation,
+def _stencil_kernel_hbm(x_hbm, k_ref, o_hbm, *, kernel_size, activation,
                         bz, xp_shape):
-    """Large-grid variant: DMA one overlapping z-slab window per grid step."""
+    """Large-grid variant: DMA one overlapping z-slab window per grid step,
+    compute into a VMEM slab, DMA the slab back to the HBM output."""
     k_z, k_x, k_y = kernel_size
+    _, _, ox, oy = o_hbm.shape
 
-    def body(scratch, shift, sem):
+    def body(scratch, shift, out_vmem, sem_in, sem_out):
         i = pl.program_id(0)
         j = pl.program_id(1)
         dma = pltpu.make_async_copy(
-            x_hbm.at[i, pl.ds(j * bz, bz + k_z - 1)], scratch, sem
+            x_hbm.at[i, pl.ds(j * bz, bz + k_z - 1)], scratch, sem_in
         )
         dma.start()
         dma.wait()
-        _, z, x, y = o_ref.shape
-        o_ref[0] = jnp.zeros((z, x, y), jnp.float32)
+        out_vmem[...] = jnp.zeros((bz, ox, oy), jnp.float32)
         # shift-hoisted tap order (see _stencil_kernel)
         for dx in range(k_x):
             for dy in range(k_y):
-                shift[...] = scratch[:, dx:dx + x, dy:dy + y]
+                shift[...] = scratch[:, dx:dx + ox, dy:dy + oy]
                 for dz in range(k_z):
-                    o_ref[0] += shift[pl.ds(dz, z)] * k_ref[dz, dx, dy]
+                    out_vmem[...] += shift[pl.ds(dz, bz)] * k_ref[dz, dx, dy]
         if activation:
-            o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
+            out_vmem[...] = jax.nn.relu(jnp.tanh(out_vmem[...]))
+        dma_out = pltpu.make_async_copy(
+            out_vmem, o_hbm.at[i, pl.ds(j * bz, bz)], sem_out
+        )
+        dma_out.start()
+        dma_out.wait()
 
-    _, z_out, x_out, y_out = o_ref.shape
     pl.run_scoped(
         body,
         scratch=pltpu.VMEM((bz + k_z - 1, *xp_shape), jnp.float32),
-        shift=pltpu.VMEM((bz + k_z - 1, x_out, y_out), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA(()),
+        shift=pltpu.VMEM((bz + k_z - 1, ox, oy), jnp.float32),
+        out_vmem=pltpu.VMEM((bz, ox, oy), jnp.float32),
+        sem_in=pltpu.SemaphoreType.DMA(()),
+        sem_out=pltpu.SemaphoreType.DMA(()),
     )
 
 
@@ -231,8 +276,12 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
     k_z, k_x, k_y = kernel_size
     pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in kernel_size]
     xp = jnp.pad(x, pads)[:, 0]
-    bz = min(16, z)
-    assert z % bz == 0
+    bz, zpad = _pick_slab(z)
+    if zpad:
+        # zero g/x planes contribute nothing to the accumulated dk
+        xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, zpad), (0, 0), (0, 0)))
+        z = z + zpad
     kernel_fn = functools.partial(_stencil_dk_kernel, kernel_size=kernel_size,
                                   bz=bz)
     out = pl.pallas_call(
@@ -288,8 +337,7 @@ def _fused_bwd(interpret, res, g):
     # the dominant cost of the whole train step).
     flipped = kernel[::-1, ::-1, ::-1]
     all_odd = (k_z % 2) and (k_x % 2) and (k_y % 2)
-    z_ok = act_grad.shape[2] % min(16, act_grad.shape[2]) == 0
-    if all_odd and z_ok and not interpret:
+    if all_odd and not interpret:
         dx = geneo_stencil_conv(act_grad, flipped, activation=False)
     else:
         pads = [(hi, lo) for (lo, hi) in _same_pads((k_z, k_x, k_y))]
@@ -302,7 +350,7 @@ def _fused_bwd(interpret, res, g):
     # dk[dz,dx,dy] = Σ_{b,z,x,y} x_pad[b, z+dz, ...] · act_grad[b, z, ...]
     vol_bytes = 4 * (x.shape[2] + k_z - 1) * (x.shape[3] + k_x - 1) * \
         (x.shape[4] + k_y - 1)
-    if z_ok and vol_bytes <= 4 * 1024 * 1024 and not interpret:
+    if vol_bytes <= 4 * 1024 * 1024 and not interpret:
         dk = stencil_dk(x, act_grad, (k_z, k_x, k_y))
     else:
         # fallback: conv with the batch dim playing the input-feature role
@@ -320,6 +368,64 @@ def _fused_bwd(interpret, res, g):
 
 
 fused_geneo_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def halo_stencil_conv(x_ext: jnp.ndarray, kernel: jnp.ndarray,
+                      activation: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """VALID-z / SAME-x/y fused stencil conv for the spatially-sharded
+    halo-exchange path (``parallel/spatial.py``).
+
+    x_ext : (B, 1, Z_local + k_z − 1, X, Y) — the local Z shard with its
+    ppermute-exchanged halo planes already concatenated. Returns
+    (B, 1, Z_local, X, Y); concatenating shard outputs over Z equals the
+    unsharded SAME conv. Differentiable: Pallas forward, XLA-conv backward
+    (the fwd is the 128³ hot path; see benchmarks/spatial_128.py).
+    """
+    return geneo_stencil_conv(x_ext, kernel, activation=activation,
+                              z_prepadded=True, interpret=interpret)
+
+
+def _halo_fwd(x_ext, kernel, activation, interpret):
+    out = halo_stencil_conv(x_ext, kernel, activation, interpret)
+    return out, (x_ext, kernel, out)
+
+
+def _halo_bwd(activation, interpret, res, g):
+    from jax import lax
+
+    x_ext, kernel, out = res
+    k_z, k_x, k_y = kernel.shape
+    if activation:
+        # out = relu(tanh(c)); d/dc = 1 − tanh²(c) where tanh(c) > 0
+        g = g * jnp.where(out > 0, 1.0 - out * out, 0.0)
+    # dx_ext: full correlation along z (pads k_z−1 both sides), mirrored
+    # SAME pads in x/y — standard conv-transpose algebra for VALID/SAME
+    flipped = kernel[::-1, ::-1, ::-1]
+    pads = [(k_z - 1, k_z - 1), (k_x // 2, (k_x - 1) // 2),
+            (k_y // 2, (k_y - 1) // 2)]
+    dx = lax.conv_general_dilated(
+        g, flipped[None, None], (1, 1, 1), pads,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )
+    # dk: batch-as-feature conv, z VALID (x_ext already carries the halos),
+    # x/y padded with the forward SAME pads
+    pads_x = [(0, 0), (0, 0), (0, 0),
+              ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+    x_pad = jnp.pad(x_ext, pads_x)
+    lhs = x_pad[:, 0][None]                  # (1, B, Z_ext, Xp, Yp)
+    rhs = jnp.swapaxes(g[:, 0][:, None], 0, 1)  # (1, B, Z_local, X, Y)
+    dk = lax.conv_general_dilated(
+        lhs, rhs, (1, 1, 1), "VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+    return dx, dk
+
+
+halo_stencil_conv.defvjp(_halo_fwd, _halo_bwd)
 
 
 def scenenet_forward_pallas(model, params, x: jnp.ndarray,

@@ -75,6 +75,7 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None) -> Ca
         mesh=mesh,
         in_specs=(P(), P("data", None, space_axis, None, None)),
         out_specs=P("data", None, space_axis, None, None),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     jit_fwd = jax.jit(fwd)
 

@@ -27,6 +27,9 @@ def halo_conv3d(
     x_local: jnp.ndarray,
     kernels: jnp.ndarray,
     axis_name: str = "space",
+    backend: str = "xla",
+    activation: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """SAME 3D conv on a Z-sharded (B, C, Z_local, X, Y) block.
 
@@ -34,6 +37,12 @@ def halo_conv3d(
     local conv with VALID z (halo already concatenated, boundary zeros from
     ppermute) and SAME x/y padding. Output keeps the local Z extent, so the
     concatenation of outputs over the axis equals the unsharded SAME conv.
+
+    ``backend="pallas"`` routes the single-channel local conv through the
+    fused Pallas stencil (HBM-streamed for 128³+ shards — the BASELINE
+    config-5 shape; 3.3× the XLA conv single-chip), optionally fusing the
+    relu∘tanh head (``activation=True``). ``interpret=True`` runs the
+    Pallas kernel in interpret mode (CPU-mesh tests).
     """
     k_z, k_x, k_y = kernels.shape[2:]
     lo = (k_z - 1) // 2  # planes needed from the z-below neighbor
@@ -57,12 +66,22 @@ def halo_conv3d(
         parts.append(above)
     x_ext = jnp.concatenate(parts, axis=2) if len(parts) > 1 else x_local
 
+    if backend == "pallas" and kernels.shape[:2] == (1, 1):
+        from scenenet_tpu.ops.pallas_conv import halo_stencil_conv
+
+        if interpret is None:  # auto: interpret-mode off TPU (CPU-mesh tests)
+            interpret = jax.default_backend() != "tpu"
+        return halo_stencil_conv(
+            x_ext.astype(jnp.float32), kernels[0, 0].astype(jnp.float32),
+            activation, interpret,
+        )
+
     pads = [
         (0, 0),  # z: VALID — halos supplied explicitly
         ((k_x - 1) // 2, k_x // 2),
         ((k_y - 1) // 2, k_y // 2),
     ]
-    return lax.conv_general_dilated(
+    conv = lax.conv_general_dilated(
         x_ext,
         kernels.astype(x_ext.dtype),
         window_strides=(1, 1, 1),
@@ -70,6 +89,7 @@ def halo_conv3d(
         dimension_numbers=_DIMENSION_NUMBERS,
         preferred_element_type=jnp.float32,
     )
+    return jax.nn.relu(jnp.tanh(conv)) if activation else conv
 
 
 def spatial_scenenet_forward(
@@ -77,14 +97,19 @@ def spatial_scenenet_forward(
     params: Mapping,
     x_local: jnp.ndarray,
     axis_name: str = "space",
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """SceneNet forward on a Z-sharded input block (inside shard_map).
 
     Kernel synthesis and the convex combination are tiny and replicated;
-    only the conv touches the sharded grid.
+    only the conv touches the sharded grid. The model's ``backend`` field
+    selects the local conv (XLA vs fused Pallas stencil + activation).
     """
     kernels = model.synthesize_kernels(params).astype(x_local.dtype)
     lams = model.effective_lambdas(params).astype(x_local.dtype)
     combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
-    conv = halo_conv3d(x_local, combined[None, None], axis_name)
-    return jax.nn.relu(jnp.tanh(conv))
+    return halo_conv3d(
+        x_local, combined[None, None], axis_name,
+        backend=getattr(model, "backend", "xla"),
+        activation=True, interpret=interpret,
+    )

@@ -89,3 +89,102 @@ class TestStencilConv:
         out = scenenet_forward_pallas(net, params, x, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestArbitraryZ:
+    """VERDICT #6: any Z ≥ 1 must work (internal slab padding, no silent
+    fallback, no assert)."""
+
+    @pytest.mark.parametrize("z", [20, 100, 250])
+    def test_non_slab_divisible_z(self, z):
+        rng = np.random.default_rng(z)
+        x = jnp.asarray(rng.random((1, 1, z, 16, 16)).astype(np.float32))
+        k = jnp.asarray(rng.random((9, 5, 5)).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("z", [7, 20])
+    def test_stencil_dk_odd_z(self, z):
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import stencil_dk
+
+        rng = np.random.default_rng(z + 1)
+        x = jnp.asarray(rng.random((2, 1, z, 16, 16)).astype(np.float32))
+        g = jnp.asarray(rng.random((2, 1, z, 16, 16)).astype(np.float32))
+        ks = (9, 5, 5)
+        dk = stencil_dk(x, g, ks, interpret=True)
+        pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in ks]
+        xp = jnp.asarray(np.pad(np.asarray(x), pads))
+        ref = lax.conv_general_dilated(
+            xp[:, 0][None], jnp.swapaxes(g[:, 0][:, None], 0, 1),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_scenenet_pallas_backend_odd_z_no_fallback(self):
+        # model with backend="pallas" on a Z=20 grid must route through the
+        # stencil (interpret mode here) and match the XLA apply
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        net_p = SceneNet(geneo_num=net.geneo_num, kernel_size=net.kernel_size,
+                         version=net.version, last_lambda=net.last_lambda,
+                         backend="pallas")
+        rng = np.random.default_rng(7)
+        x = jnp.asarray((rng.random((2, 1, 20, 16, 16)) > 0.9).astype(np.float32))
+        ref = net.apply(params, x)
+        out = scenenet_forward_pallas(net_p, params, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestHaloStencil:
+    """VALID-z / SAME-xy fused kernel used by the spatially-sharded path."""
+
+    @pytest.mark.parametrize("ks", [(9, 5, 5), (3, 3, 3), (9, 6, 6)])
+    def test_matches_xla_valid_z(self, ks):
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import halo_stencil_conv
+
+        k_z, k_x, k_y = ks
+        rng = np.random.default_rng(11)
+        x_ext = jnp.asarray(rng.random((2, 1, 16 + k_z - 1, 16, 16)).astype(np.float32))
+        k = jnp.asarray(rng.random(ks).astype(np.float32))
+        pads = [(0, 0), ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+        ref = lax.conv_general_dilated(
+            x_ext, k[None, None], (1, 1, 1), pads,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+        out = halo_stencil_conv(x_ext, k, False, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_xla(self):
+        import jax
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import halo_stencil_conv
+
+        ks = (9, 5, 5)
+        k_z, k_x, k_y = ks
+        rng = np.random.default_rng(13)
+        x_ext = jnp.asarray(rng.random((2, 1, 16 + k_z - 1, 12, 12)).astype(np.float32))
+        k = jnp.asarray((rng.random(ks) * 0.2 - 0.1).astype(np.float32))
+
+        def ref(x, kk):
+            pads = [(0, 0), ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+            c = lax.conv_general_dilated(
+                x, kk[None, None], (1, 1, 1), pads,
+                dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+            return jnp.maximum(jnp.tanh(c), 0.0)
+
+        gx_ref, gk_ref = jax.grad(lambda a, b: jnp.sum(ref(a, b) ** 2),
+                                  argnums=(0, 1))(x_ext, k)
+        gx, gk = jax.grad(
+            lambda a, b: jnp.sum(halo_stencil_conv(a, b, True, True) ** 2),
+            argnums=(0, 1))(x_ext, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                                   atol=1e-3, rtol=1e-4)
