@@ -126,6 +126,7 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         checkpoint_top_k=cfg.checkpoint_top_k,
         run_dir=run_dir,
         use_wandb=cfg.use_wandb,
+        precision=cfg.precision,
     )
     batch_prep = None
     if cfg.device_voxelization:

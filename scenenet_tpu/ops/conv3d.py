@@ -35,6 +35,11 @@ def conv3d_same(
     for k in kernels.shape[2:]:
         total = k - 1
         pads.append((total // 2, total - total // 2))
+    if preferred_dtype is not None and x.dtype != jnp.dtype(preferred_dtype):
+        # mixed-precision (bf16) inputs: keep the IO dtype — upcasting the
+        # output breaks the conv transpose under AD (cotangent dtype must
+        # match the operands), and the MXU accumulates in f32 regardless
+        preferred_dtype = None
     return lax.conv_general_dilated(
         x,
         kernels.astype(x.dtype),

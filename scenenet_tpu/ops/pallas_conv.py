@@ -140,6 +140,12 @@ def geneo_stencil_conv(
             out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
+            # XLA's VMEM-placement pass may scope-allocate the full result
+            # (e.g. 16 MiB at batch-16 64³) — give it headroom beyond the
+            # 16 MiB default instead of failing the compile
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(xp, kernel.astype(jnp.float32))
         return out[:, None, :z_out] if zpad else out[:, None]
@@ -297,6 +303,9 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
         out_specs=pl.BlockSpec((k_x * k_y, k_z), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, g[:, 0])
     return out.reshape(k_x, k_y, k_z).transpose(2, 0, 1)

@@ -4,21 +4,24 @@ Same math as :func:`scenenet_tpu.ops.voxelize._mxu_bin_counts` — split the
 flat bin id into (hi, lo) halves and accumulate
 ``counts[hi, lo] += OneHot(hi_chunk)ᵀ @ OneHot(lo_chunk)`` — but the
 one-hot operands are built *inside* the kernel in VMEM right before each
-``dot_general``, so they never round-trip through HBM. One grid step per
-sample; the chunk loop is an in-kernel ``fori_loop`` accumulating into the
-VMEM output block.
+``dot_general``, so they never round-trip through HBM. That HBM traffic is
+exactly what bounds the XLA einsum formulation: XLA materializes both
+one-hot operands per chunk (~100 MB/chunk at batch 16), and the round-2
+ablation showed int8 vs bf16 einsums time within 6% of each other — the
+matmul FLOPs are not the bottleneck there.
 
-Block-shape note: Mosaic requires the last two block dims to be divisible
-by (8, 128) or equal to the array dims, so the point ids are shaped
-(B, n_chunks, CHUNK) with the whole (n_chunks, CHUNK) id plane resident
-(~0.3 MB for 82k points).
+Kernel layout: one grid step per sample; the whole (n_chunks, CHUNK) id
+plane sits in VMEM (~0.26 MB for 65k points) and an in-kernel fori_loop
+builds int8 one-hots (hi via shift, lo via mask when LO is a power of
+two) and feeds s8×s8→s32 MXU dots, accumulating into the VMEM output
+block.
 
-Measured result (v5e, 32×82k pts → 64³): 13.1 ms/batch vs 10.5 ms for the
-SAME algorithm written as a chunked XLA einsum
-(:func:`scenenet_tpu.ops.voxelize._mxu_bin_counts`) — XLA pipelines this
-matmul pattern well on its own, so the XLA formulation remains the
-production default and this kernel is kept as a correct, tested reference
-point for future tuning.
+Measured (v5e, 16×65k pts → 64³, two channels): 5.66 ms vs 8.91 ms for
+the XLA int8 einsum (1.6×); sweep: split_dots beats the concatenated
+two-channel lhs by ~8%, chunk ∈ {2048, 4096, 8192} within 2%. The
+production default via ``voxelize._batch_from_flat(method="mxu")`` on
+TPU. (The round-1 bf16 variant of this kernel lost to XLA at 13.1 vs
+10.5 ms on 32×82k — int8 dots plus the in-kernel hi/lo split flipped it.)
 """
 
 from __future__ import annotations
@@ -33,71 +36,101 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LO = 512
-CHUNK = 2048
+CHUNK = 4096
 
 
-def _hist_kernel(hi_ref, lo_ref, w_ref, o_ref, *, n_hi: int, channels: int,
-                 n_chunks: int):
+def _hist_kernel(ids_ref, w_ref, o_ref, *, n_hi: int, channels: int,
+                 n_chunks: int, chunk: int, dtype, split_dots: bool):
+    acc_dtype = o_ref.dtype
     o_ref[0] = jnp.zeros_like(o_ref[0])
+    lo_shift = LO.bit_length() - 1  # LO is a power of two
 
     def body(c, _):
-        hi = hi_ref[0, pl.ds(c, 1)][0]  # (CHUNK,)
-        lo = lo_ref[0, pl.ds(c, 1)][0]
-        a = (hi[:, None] == lax.broadcasted_iota(jnp.int32, (CHUNK, n_hi), 1))
-        a = a.astype(jnp.bfloat16)
+        ids = ids_ref[0, pl.ds(c, 1)][0]  # (chunk,) int32
+        hi = ids >> lo_shift
+        lo = ids & (LO - 1)
+        # all minor-dim insertions/broadcasts happen at 32 bits (Mosaic
+        # rejects sub-32-bit minor-dim insertion); cast to int8/bf16 last
+        mask_hi = hi[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, n_hi), 1)
+        a = mask_hi.astype(dtype)
+        b = (lo[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, LO), 1))
+        b = b.astype(dtype)
+        dims = (((0,), (0,)), ((), ()))
         if channels == 2:
-            w = w_ref[0, pl.ds(c, 1)][0].astype(jnp.bfloat16)
-            a = jnp.concatenate([a, a * w[:, None]], axis=1)
-        b = (lo[:, None] == lax.broadcasted_iota(jnp.int32, (CHUNK, LO), 1))
-        b = b.astype(jnp.bfloat16)
-        o_ref[0] += lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            wcol = w_ref[0, pl.ds(c, 1)][0][:, None]  # (chunk, 1) 32-bit
+            aw = jnp.logical_and(mask_hi, wcol != 0).astype(dtype)
+            if split_dots:
+                o_ref[0, :n_hi] += lax.dot_general(
+                    a, b, dims, preferred_element_type=acc_dtype)
+                o_ref[0, n_hi:] += lax.dot_general(
+                    aw, b, dims, preferred_element_type=acc_dtype)
+                return 0
+            a = jnp.concatenate([a, aw], axis=1)
+        o_ref[0] += lax.dot_general(a, b, dims,
+                                    preferred_element_type=acc_dtype)
         return 0
 
     lax.fori_loop(0, n_chunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("size", "interpret", "int8",
+                                             "chunk", "split_dots"))
 def pallas_bin_counts(
     flat: jnp.ndarray,
     mask: jnp.ndarray,
     size: int,
     weights: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    int8: bool = True,
+    chunk: int = CHUNK,
+    split_dots: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """(B, N) flat bin ids (+mask, optional per-point weights) →
-    (B, size) counts [, (B, size) weighted counts]."""
+    """(B, N) flat bin ids (+mask, optional per-point {0,1} weights) →
+    (B, size) counts [, (B, size) weighted counts].
+
+    ``int8=True`` (default) runs exact s8×s8→s32 MXU dots — only valid
+    while one-hots and weights are {0,1} (they are: weights are the
+    is-tower indicator). ``int8=False`` keeps the bf16/f32 variant for
+    arbitrary float weights.
+    """
     b, n = flat.shape
     n_hi = -(-size // LO)
     invalid = n_hi * LO
     flat = jnp.where(mask, flat, invalid)
-    if n % CHUNK:
-        pad = CHUNK - n % CHUNK
+    if n % chunk:
+        pad = chunk - n % chunk
         flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=invalid)
         if weights is not None:
             weights = jnp.pad(weights, ((0, 0), (0, pad)))
         n += pad
-    n_chunks = n // CHUNK
-    hi = (flat // LO).astype(jnp.int32).reshape(b, n_chunks, CHUNK)
-    lo = (flat % LO).astype(jnp.int32).reshape(b, n_chunks, CHUNK)
+    n_chunks = n // chunk
+    ids = flat.astype(jnp.int32).reshape(b, n_chunks, chunk)
     channels = 2 if weights is not None else 1
-    w = (weights.astype(jnp.float32) if weights is not None else
-         jnp.zeros((b, n), jnp.float32)).reshape(b, n_chunks, CHUNK)
+    wdt = jnp.int32 if int8 else jnp.float32
+    w = (weights.astype(wdt) if weights is not None else
+         jnp.zeros((b, n), wdt)).reshape(b, n_chunks, chunk)
+    dtype = jnp.int8 if int8 else jnp.bfloat16
+    acc_dtype = jnp.int32 if int8 else jnp.float32
 
-    id_spec = pl.BlockSpec((1, n_chunks, CHUNK), lambda i: (i, 0, 0),
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_hist_kernel, n_hi=n_hi, channels=channels,
-                          n_chunks=n_chunks),
-        out_shape=jax.ShapeDtypeStruct((b, channels * n_hi, LO), jnp.float32),
+                          n_chunks=n_chunks, chunk=chunk, dtype=dtype,
+                          split_dots=split_dots),
+        out_shape=jax.ShapeDtypeStruct((b, channels * n_hi, LO), acc_dtype),
         grid=(b,),
-        in_specs=[id_spec, id_spec, id_spec],
+        in_specs=[id_spec, id_spec],
         out_specs=pl.BlockSpec((1, channels * n_hi, LO), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(hi, lo, w)
+    )(ids, w)
 
+    out = out.astype(jnp.float32)
     counts = out[:, :n_hi].reshape(b, n_hi * LO)[:, :size]
     if channels == 2:
         wsum = out[:, n_hi:].reshape(b, n_hi * LO)[:, :size]

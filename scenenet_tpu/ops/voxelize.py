@@ -292,7 +292,15 @@ def _batch_from_flat(
     size = n_x * n_y * n_z
     if method == "mxu":
         tower_w = jnp.logical_and(is_tower, mask)
-        counts, tower = _mxu_bin_counts2(flat, mask, tower_w, size)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: one-hots built in VMEM, s8 MXU dots —
+            # the XLA einsum materializes both one-hot operands through
+            # HBM (~100 MB/chunk at batch 16) and is bound by that traffic
+            from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
+
+            counts, tower = pallas_bin_counts(flat, mask, size, weights=tower_w)
+        else:
+            counts, tower = _mxu_bin_counts2(flat, mask, tower_w, size)
         counts = counts.reshape(b, n_z, n_x, n_y)
         tower = tower.reshape(b, n_z, n_x, n_y)
     else:
@@ -332,6 +340,8 @@ def voxelize_batch(
 
 _MXU_LO = 512     # low-half one-hot width (4 × 128 lanes)
 _MXU_CHUNK = 4096  # points per accumulation chunk
+_MXU_DTYPE = jnp.int8  # one-hot element type; {0,1} values are exact in
+                       # int8 (2× MXU throughput) and in bf16 alike
 
 
 def _live_chunks(mask: jnp.ndarray, n_padded: int) -> jnp.ndarray:
@@ -379,22 +389,26 @@ def _mxu_bin_counts(
     lo = flat % _MXU_LO
     iota_hi = jnp.arange(n_hi, dtype=jnp.int32)
     iota_lo = jnp.arange(_MXU_LO, dtype=jnp.int32)
+    # unweighted one-hots are {0,1}: int8 matmul with int32 accumulation is
+    # exact and 2× bf16 MXU throughput; float weights keep the bf16 path
+    dtype = _MXU_DTYPE if weights is None else jnp.bfloat16
+    acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
 
     def chunk_body(c, acc):
         s = c * _MXU_CHUNK
         hi_c = jax.lax.dynamic_slice_in_dim(hi, s, _MXU_CHUNK, axis=1)
         lo_c = jax.lax.dynamic_slice_in_dim(lo, s, _MXU_CHUNK, axis=1)
-        a = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)
+        a = (hi_c[..., None] == iota_hi).astype(dtype)
         if weights is not None:
             w_c = jax.lax.dynamic_slice_in_dim(weights, s, _MXU_CHUNK, axis=1)
-            a = a * w_c[..., None].astype(jnp.bfloat16)
-        bm = (lo_c[..., None] == iota_lo).astype(jnp.bfloat16)
+            a = a * w_c[..., None].astype(dtype)
+        bm = (lo_c[..., None] == iota_lo).astype(dtype)
         return acc + jnp.einsum("bnh,bnl->bhl", a, bm,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=acc_dtype)
 
-    acc = jnp.zeros((b, n_hi, _MXU_LO), jnp.float32)
+    acc = jnp.zeros((b, n_hi, _MXU_LO), acc_dtype)
     acc = jax.lax.fori_loop(0, _live_chunks(mask, n), chunk_body, acc)
-    return acc.reshape(b, n_hi * _MXU_LO)[:, :size]
+    return acc.astype(jnp.float32).reshape(b, n_hi * _MXU_LO)[:, :size]
 
 
 def _mxu_bin_counts2(
@@ -418,21 +432,25 @@ def _mxu_bin_counts2(
     lo = flat % _MXU_LO
     iota_hi = jnp.arange(n_hi, dtype=jnp.int32)
     iota_lo = jnp.arange(_MXU_LO, dtype=jnp.int32)
-    tower = tower.astype(jnp.bfloat16)
+    # both channels are {0,1}: int8 one-hots with int32 accumulation are
+    # exact and run 2× bf16 on the v5e MXU (394 → 788 TOPS)
+    tower = tower.astype(_MXU_DTYPE)
+    acc_dtype = jnp.int32 if _MXU_DTYPE == jnp.int8 else jnp.float32
 
     def chunk_body(c, acc):
         s = c * _MXU_CHUNK
         hi_c = jax.lax.dynamic_slice_in_dim(hi, s, _MXU_CHUNK, axis=1)
         lo_c = jax.lax.dynamic_slice_in_dim(lo, s, _MXU_CHUNK, axis=1)
         w_c = jax.lax.dynamic_slice_in_dim(tower, s, _MXU_CHUNK, axis=1)
-        a1 = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)
+        a1 = (hi_c[..., None] == iota_hi).astype(_MXU_DTYPE)
         a = jnp.concatenate([a1, a1 * w_c[..., None]], axis=-1)  # (B,C,2H)
-        bm = (lo_c[..., None] == iota_lo).astype(jnp.bfloat16)
+        bm = (lo_c[..., None] == iota_lo).astype(_MXU_DTYPE)
         return acc + jnp.einsum("bnh,bnl->bhl", a, bm,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=acc_dtype)
 
-    acc = jnp.zeros((b, 2 * n_hi, _MXU_LO), jnp.float32)
+    acc = jnp.zeros((b, 2 * n_hi, _MXU_LO), acc_dtype)
     acc = jax.lax.fori_loop(0, _live_chunks(mask, n), chunk_body, acc)
+    acc = acc.astype(jnp.float32)
     counts = acc[:, :n_hi].reshape(b, n_hi * _MXU_LO)[:, :size]
     tower_counts = acc[:, n_hi:].reshape(b, n_hi * _MXU_LO)[:, :size]
     return counts, tower_counts
@@ -459,7 +477,13 @@ def voxelize_batch_hist(
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
     if method == "mxu":
-        counts = _mxu_bin_counts(flat, mask, size).reshape(b, n_z, n_x, n_y)
+        if jax.default_backend() == "tpu":
+            from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
+
+            counts = pallas_bin_counts(flat, mask, size)[0]
+        else:
+            counts = _mxu_bin_counts(flat, mask, size)
+        counts = counts.reshape(b, n_z, n_x, n_y)
     else:
         offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
         ids = jnp.where(mask, flat + offs, b * size).reshape(-1)

@@ -58,6 +58,10 @@ class TrainConfig:
     use_wandb: bool = False
     debug_nans: bool = False        # jax_debug_nans for the fit (SURVEY §5.2)
     profile_dir: Optional[str] = None  # capture an xprof trace of epoch 0 (§5.1)
+    precision: str = "f32"          # "f32" | "bf16": mixed-precision forward
+    # (bf16 params+activations inside the loss, f32 master params, f32 loss
+    # accumulation — the wired version of the reference's unwired
+    # `precision: 16` intent, defaults_config.yml:83-84)
 
 
 def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
@@ -108,9 +112,11 @@ class Trainer:
         self.config = config
         self.logger = logger or RunLogger(config.run_dir, use_wandb=config.use_wandb)
         self.batch_prep = batch_prep
+        self._prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._eval_step = None
+        self._steps_tx = None  # the tx the cached steps close over
         self.best = BestMetricTracker()
 
     # ---- step builders -----------------------------------------------------
@@ -119,15 +125,28 @@ class Trainer:
     def _stateful(self) -> bool:
         return bool(getattr(self.model, "is_stateful", False))
 
+    def _cast_half(self, tree):
+        """bf16 copies of the float leaves (f32 masters stay outside)."""
+        return jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+            tree,
+        )
+
     def _loss(self, params, x, y, model_state=None, train=True):
         new_ms = model_state
+        half = self.config.precision == "bf16"
+        fparams, fx = (self._cast_half(params), x.astype(jnp.bfloat16)) if half \
+            else (params, x)
         if self._stateful:
             if train:
-                pred, new_ms = self.model.apply_train(params, model_state, x)
+                pred, new_ms = self.model.apply_train(fparams, model_state, fx)
             else:
-                pred = self.model.apply_eval(params, model_state, x)
+                pred = self.model.apply_eval(fparams, model_state, fx)
         else:
-            pred = self.model.apply(params, x)
+            pred = self.model.apply(fparams, fx)
+        # loss + constraint terms accumulate in f32 on the f32 masters
+        pred = pred.astype(jnp.float32)
         cvx = self.model.cvx_coefficients(params) if hasattr(self.model, "cvx_coefficients") else {}
         geneo = self.model.geneo_params_flat(params) if hasattr(self.model, "geneo_params_flat") else {}
         last = getattr(self.model, "last_lambda", None)
@@ -135,14 +154,35 @@ class Trainer:
         return loss, (pred, new_ms)
 
     def _build_steps(self, tx: optax.GradientTransformation):
+        """Build (and cache) the jitted train/eval steps for ``tx``.
+
+        jax.jit caches per wrapper, so rebuilding the closures would
+        recompile — repeated ``evaluate()`` calls reuse ``self._eval_step``
+        (VERDICT r1 #10)."""
+        if self._train_step is not None and tx is self._steps_tx:
+            return self._train_step, self._eval_step
+        self._steps_tx = tx
         cfg = self.config
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
+        needs_vf = optimizer_needs_value_fn(cfg.optimizer)
 
         @jax.jit
         def train_step(state: TrainState, mstate: MetricState, *batch):
             x, y = self.batch_prep(*batch) if self.batch_prep else batch
             (loss, (pred, new_ms)), grads = jax.value_and_grad(
                 self._loss, has_aux=True)(state.params, x, y, state.model_state)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            if needs_vf:
+                # linesearch optimizers re-evaluate the loss along the
+                # search direction inside the update
+                def value_fn(p):
+                    return self._loss(p, x, y, state.model_state)[0]
+
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params,
+                    value=loss, grad=grads, value_fn=value_fn)
+            else:
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=opt_state, model_state=new_ms)
@@ -156,6 +196,7 @@ class Trainer:
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return mstate, loss, pred
 
+        self._train_step, self._eval_step = train_step, eval_step
         return train_step, eval_step
 
     # ---- fit ---------------------------------------------------------------
@@ -211,12 +252,19 @@ class Trainer:
                 losses.append(loss)
                 if cfg.log_gradients and not grad_logged:
                     # one gradient snapshot per epoch (reference
-                    # lit_model_wrappers.py:207-210)
-                    flat = {
-                        f"grad/{'/'.join(map(str, [getattr(k, 'key', k) for k in path]))}": float(v)
-                        for path, v in jax.tree_util.tree_flatten_with_path(grads)[0]
-                        if np.ndim(v) == 0
-                    }
+                    # lit_model_wrappers.py:207-210); the full per-tensor
+                    # series is the reference's wandb.watch(log="all")
+                    # equivalent (main.py:217-222)
+                    flat = {}
+                    for path, v in jax.tree_util.tree_flatten_with_path(grads)[0]:
+                        key = "/".join(str(getattr(k, "key", k)) for k in path)
+                        if np.ndim(v) == 0:
+                            flat[f"grad/{key}"] = float(v)
+                        else:
+                            v = jnp.asarray(v)
+                            flat[f"gradnorm/{key}"] = float(jnp.linalg.norm(v))
+                            flat[f"gradmean/{key}"] = float(jnp.mean(v))
+                            flat[f"gradstd/{key}"] = float(jnp.std(v))
                     self.logger.log_params(flat, int(state.step))
                     grad_logged = True
 
@@ -271,8 +319,8 @@ class Trainer:
 
         from scenenet_tpu.utils.viz import voxelgrid_to_points, write_ply
 
-        if self.batch_prep is not None:
-            x, y = jax.jit(self.batch_prep)(*batch)
+        if self._prep_jit is not None:
+            x, y = self._prep_jit(*batch)
         else:
             x, y = batch[0], batch[1]
         out_dir = os.path.join(self.config.run_dir, "pointclouds")
@@ -312,9 +360,9 @@ class Trainer:
         else:
             apply = jax.jit(self.model.apply)
         for batch in loader:
-            if self.batch_prep is not None:
+            if self._prep_jit is not None:
                 batch = tuple(jnp.asarray(b) for b in batch)
-                x, _ = jax.jit(self.batch_prep)(*batch)
+                x, _ = self._prep_jit(*batch)
             else:
                 x = batch[0] if isinstance(batch, (tuple, list)) else batch
             yield np.asarray(apply(params, jnp.asarray(x)))

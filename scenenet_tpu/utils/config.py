@@ -67,6 +67,10 @@ class ExperimentConfig:
     early_stop_patience: int = 25
     accumulate_grad_batches: int = 1
     tau: float = 0.65
+    # "f32" | "bf16" — mixed-precision forward (the reference's
+    # defaults_config.yml declares `precision: 16` but never wires it;
+    # here it is real: bf16 params/activations, f32 masters + loss)
+    precision: str = "f32"
 
     # criterion
     criterion: str = "geneo_tversky"

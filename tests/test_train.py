@@ -65,12 +65,42 @@ class TestMetrics:
 class TestStateAndOptim:
     @pytest.mark.parametrize("name", ["adam", "sgd", "rmsprop", "lbfgs"])
     def test_resolve(self, name):
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
         tx = resolve_optimizer(name, 1e-2)
         params = {"a": jnp.ones(3)}
         state = tx.init(params)
-        grads = {"a": jnp.ones(3)}
-        updates, _ = tx.update(grads, state, params)
+
+        def f(p):
+            return jnp.sum((p["a"] - 2.0) ** 2)
+
+        value, grads = jax.value_and_grad(f)(params)
+        if optimizer_needs_value_fn(name):
+            # lbfgs ships a zoom linesearch: update re-evaluates the loss
+            updates, _ = tx.update(grads, state, params,
+                                   value=value, grad=grads, value_fn=f)
+        else:
+            updates, _ = tx.update(grads, state, params)
         assert jnp.isfinite(updates["a"]).all()
+
+    def test_lbfgs_linesearch_converges(self):
+        # LBFGS must actually minimize (with linesearch it converges in a
+        # few steps on a quadratic; without one it is just scaled GD)
+        import optax
+
+        tx = resolve_optimizer("lbfgs", 1.0)
+        params = {"a": jnp.zeros(3)}
+        opt_state = tx.init(params)
+
+        def f(p):
+            return jnp.sum((p["a"] - jnp.asarray([1.0, -2.0, 3.0])) ** 2)
+
+        for _ in range(8):
+            value, grads = jax.value_and_grad(f)(params)
+            updates, opt_state = tx.update(grads, opt_state, params,
+                                           value=value, grad=grads, value_fn=f)
+            params = optax.apply_updates(params, updates)
+        assert float(f(params)) < 1e-8
 
     def test_unknown_raises(self):
         with pytest.raises(NotImplementedError):
@@ -184,3 +214,50 @@ class TestEndToEndFit:
         trainer = Trainer(net, crit, cfg)
         final_params, best = trainer.fit(params, _toy_batches(4))
         assert np.isfinite(best["train_loss"])
+
+
+class TestMixedPrecision:
+    """precision="bf16" (VERDICT r1 #5): bf16 forward, f32 masters/loss."""
+
+    def test_bf16_forward_parity_budget(self):
+        from scenenet_tpu.train.loop import TrainConfig, Trainer
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.9).astype(np.float32))
+        y = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.97).astype(np.float32))
+        crit = lambda pred, gt, cvx, geneo, last: jnp.mean((pred - gt) ** 2)
+        t32 = Trainer(net, crit, TrainConfig(precision="f32"))
+        t16 = Trainer(net, crit, TrainConfig(precision="bf16"))
+        l32, (p32, _) = t32._loss(params, x, y)
+        l16, (p16, _) = t16._loss(params, x, y)
+        assert p16.dtype == jnp.float32  # loss accumulates in f32
+        np.testing.assert_allclose(float(l16), float(l32), rtol=5e-2)
+        np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=3e-2)
+
+    def test_bf16_trains_comparably(self, tmp_path):
+        from scenenet_tpu.losses import resolve_criterion
+        from scenenet_tpu.train.loop import TrainConfig, Trainer
+
+        rng = np.random.default_rng(1)
+        batches = [
+            ((rng.random((2, 1, 12, 12, 12)) > 0.9).astype(np.float32),
+             (rng.random((2, 1, 12, 12, 12)) > 0.97).astype(np.float32))
+            for _ in range(3)
+        ]
+        crit = resolve_criterion("focal_tversky")(tversky_alpha=2, tversky_beta=1,
+                                                  tversky_smooth=1e-6, focal_gamma=4)
+        finals = {}
+        for prec in ("f32", "bf16"):
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+            cfg = TrainConfig(max_epochs=4, learning_rate=5e-2,
+                              early_stop_metric=None, precision=prec,
+                              checkpoint_dir=str(tmp_path / f"c{prec}"),
+                              run_dir=str(tmp_path / f"r{prec}"),
+                              log_gradients=False)
+            trainer = Trainer(net, crit, cfg)
+            _, best = trainer.fit(params, batches)
+            finals[prec] = best["train_loss"]
+            assert np.isfinite(best["train_loss"])
+        # comparable optimization progress (identical data/seeds)
+        np.testing.assert_allclose(finals["bf16"], finals["f32"], rtol=0.15)
