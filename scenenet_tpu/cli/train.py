@@ -48,7 +48,13 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
                                   input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))
     if cfg.model == "unet":
-        return UNet3D.create(seed=seed, input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))
+        import jax.numpy as jnp
+
+        # precision: bf16 → bf16 compute dtype inside the flax module (the
+        # Trainer-level cast alone is undone by the f32 BatchNorm stats)
+        dtype = jnp.bfloat16 if getattr(cfg, "precision", "f32") == "bf16" else jnp.float32
+        return UNet3D.create(seed=seed, input_shape=(1, 1, *cfg.voxel_grid_size[::-1]),
+                             dtype=dtype)
     raise NotImplementedError(f"model {cfg.model!r}")
 
 

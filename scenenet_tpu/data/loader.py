@@ -67,13 +67,28 @@ class _BaseLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            # prefetch up to num_workers batches ahead
-            futures = [
-                pool.submit(lambda b=b: self._collate([self.dataset[i] for i in b]))
-                for b in batches
-            ]
-            for fut in futures:
-                yield self._place(fut.result())
+            # BOUNDED prefetch: keep at most num_workers+1 batches in
+            # flight. Submitting the whole epoch upfront (round-1 bug) let
+            # the pool race ahead of the consumer and buffer every
+            # collated batch in RAM (GBs at TS40K scale), collapsing
+            # throughput ~10× once allocation pressure kicked in.
+            from collections import deque
+
+            it = iter(batches)
+            pending: deque = deque()
+
+            def submit_next():
+                b = next(it, None)
+                if b is not None:
+                    pending.append(pool.submit(
+                        lambda b=b: self._collate([self.dataset[i] for i in b])))
+
+            for _ in range(self.num_workers + 1):
+                submit_next()
+            while pending:
+                out = pending.popleft().result()
+                submit_next()
+                yield self._place(out)
 
 
 class VoxelLoader(_BaseLoader):

@@ -150,11 +150,36 @@ def crop_at_locations(xyz: np.ndarray, coords: np.ndarray, radius: float = 0,
 
 def downsampling(xyz: np.ndarray, classes: np.ndarray, samp_per: float = 0.5,
                  seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Uniform per-point sampling preserving classes (``:375-421`` does this
-    per voxel with uniform probability — statistically identical)."""
+    """Per-voxel uniform sampling (reference ``pcd_processing.py:375-421``).
+
+    The reference buckets points into a 64³ voxel grid, then retains each
+    voxel's points with independent probability ``samp_per`` and emits them
+    *grouped by voxel in first-appearance order* (its ``dict`` iteration).
+    Each point's retention draw is i.i.d. uniform either way, so selection
+    is distributionally identical to per-point sampling — but the output
+    ordering is the per-voxel grouping, reproduced here vectorized."""
+    xyz = np.asarray(xyz)
+    classes = np.asarray(classes)
+    n = len(xyz)
+    if n == 0:
+        return xyz, classes
+    from scenenet_tpu.ops.voxel_np import compute_grid_spec, voxel_indices_np
+
+    spec = compute_grid_spec(xyz, (64, 64, 64))
+    idx = voxel_indices_np(xyz, spec)
+    n_x, n_y, _ = spec.shape
+    flat = (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
+
+    uniq, first_pos = np.unique(flat, return_index=True)
+    vox_rank = np.empty(len(uniq), np.int64)
+    vox_rank[np.argsort(first_pos, kind="stable")] = np.arange(len(uniq))
+    point_rank = vox_rank[np.searchsorted(uniq, flat)]
+    perm = np.argsort(point_rank, kind="stable")  # voxel groups, stable within
+
     rng = np.random.default_rng(seed)
-    keep = rng.random(len(xyz)) <= samp_per
-    return xyz[keep], np.asarray(classes)[keep]
+    keep = rng.random(n) <= samp_per  # one i.i.d. draw per point, as the ref
+    sel = perm[keep[perm]]
+    return xyz[sel], classes[sel]
 
 
 def downsampling_relative_height(xyz: np.ndarray, classes: np.ndarray,

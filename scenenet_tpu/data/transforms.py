@@ -84,6 +84,54 @@ class ToFullDense:
         )
 
 
+class XYZVoxelization:
+    """(points (N,3), labels (N,)) → (centroid (1,3,Z,X,Y), density
+    (1,Z,X,Y), tower-prob (1,Z,X,Y)).
+
+    Working twin of the reference's ``xyz_Voxelization``
+    (``core/datasets/torch_transforms.py:127-166``), whose body calls
+    ``Vox.centroid_hist_on_voxel`` / ``centroid_reg_on_voxel`` — functions
+    that do not exist anywhere in the reference (dead code). The unpacking
+    contract at ``:166`` (``voxeled[None, :-1], voxeled[None, -1], ...``)
+    defines the intended output, implemented here via
+    :func:`scenenet_tpu.ops.voxel_np.centroid_hist_on_voxel_np`.
+    """
+
+    def __init__(self, keep_labels: Sequence[int],
+                 vox_size: Optional[Tuple[float, float, float]] = None,
+                 vxg_size: Optional[Tuple[int, int, int]] = (64, 64, 64),
+                 dtype=np.float32):
+        if vox_size is None and vxg_size is None:
+            raise ValueError("voxel size or voxelgrid size must be provided")
+        self.keep_labels = list(np.asarray(keep_labels).reshape(-1))
+        self.vox_size = vox_size
+        self.vxg_size = vxg_size
+        self.dtype = dtype
+
+    def __call__(self, sample):
+        pts, labels = sample
+        spec = vnp.compute_grid_spec(pts, self.vxg_size, self.vox_size)
+        xyz_hist = vnp.centroid_hist_on_voxel_np(pts, spec=spec)
+        reg = vnp.reg_on_voxel_np(pts, labels, self.keep_labels, spec=spec)
+        return (xyz_hist[None, :-1].astype(self.dtype),
+                xyz_hist[None, -1].astype(self.dtype),
+                reg[None].astype(self.dtype))
+
+
+class XYZToFullDense:
+    """(xyz, dense, labels) → (xyz, dense > 0, labels > 0) — the reference's
+    ``xyz_ToFullDense`` (``torch_transforms.py:109-123``)."""
+
+    def __call__(self, sample):
+        xyz, dense, labels = sample
+        return xyz, (dense > 0).astype(dense.dtype), (labels > 0).astype(labels.dtype)
+
+
+# reference-spelling aliases (migration aid)
+xyz_Voxelization = XYZVoxelization
+xyz_ToFullDense = XYZToFullDense
+
+
 class RandomRotateZ:
     """Random rotation about the vertical axis (pre-voxelization).
 
@@ -173,6 +221,10 @@ class PointPadding:
     vxg_size: Tuple[int, int, int] = (64, 64, 64)
     vox_size: Optional[Tuple[float, float, float]] = None
     use_native: Optional[bool] = None
+    # False skips the host-exact bin-index computation entirely (the
+    # device path recomputes bins from raw coordinates; ~4× cheaper host
+    # prep — the lever when host cores, not the chip, bound the pipeline)
+    compute_indices: bool = True
 
     def __call__(self, sample):
         pts, labels = sample
@@ -182,6 +234,15 @@ class PointPadding:
             sel = rng.choice(n, self.max_points, replace=False)
             pts, labels = pts[sel], labels[sel]
             n = self.max_points
+
+        if not self.compute_indices:
+            out_pts = np.zeros((self.max_points, 3), np.float32)
+            out_lab = np.zeros(self.max_points, np.int32)
+            mask = np.zeros(self.max_points, bool)
+            out_pts[:n] = (pts - pts.min(0)).astype(np.float32)
+            out_lab[:n] = np.asarray(labels[:n], np.int32)
+            mask[:n] = True
+            return out_pts, out_lab, mask, np.zeros(self.max_points, np.int32)
 
         use_native = self.use_native
         if use_native is None:

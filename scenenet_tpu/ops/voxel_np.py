@@ -215,6 +215,58 @@ def prob_to_label_np(grid: np.ndarray, tau: float) -> np.ndarray:
     return (grid >= tau).astype(grid.dtype)
 
 
+def centroid_hist_on_voxel_np(
+    xyz: np.ndarray,
+    vxg_size: Optional[Tuple[int, int, int]] = (64, 64, 64),
+    vox_size: Optional[Tuple[float, float, float]] = None,
+    spec: Optional[VoxelGridSpec] = None,
+) -> np.ndarray:
+    """(4, Z, X, Y): per-voxel xyz centroid (3 channels, 0 where empty) +
+    the minmax-normalized density channel of :func:`hist_on_voxel_np`.
+
+    The reference's ``xyz_Voxelization`` transform calls
+    ``Vox.centroid_hist_on_voxel`` (``core/datasets/torch_transforms.py:161``)
+    but that function is never defined anywhere in the reference — dead
+    code that would raise AttributeError. This is the working
+    implementation of its evident intent (channels [:-1] = centroid,
+    [-1] = density, per the transform's unpacking at ``:166``).
+    """
+    xyz = np.asarray(xyz, np.float64)
+    if spec is None:
+        spec = compute_grid_spec(xyz, vxg_size, vox_size)
+    idx = voxel_indices_np(xyz, spec)
+    flat = _flat_zxy(idx, spec)
+    n_z, n_x, n_y = spec.grid_shape_zxy
+    size = n_z * n_x * n_y
+    counts = np.bincount(flat, minlength=size).astype(np.float64)
+    cent = np.stack([
+        np.bincount(flat, weights=xyz[:, c], minlength=size) for c in range(3)
+    ])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cent = np.where(counts > 0, cent / np.maximum(counts, 1.0), 0.0)
+    density = normalize_per_column_np(counts.reshape(n_z, n_x, n_y))
+    return np.concatenate([cent.reshape(3, n_z, n_x, n_y), density[None]])
+
+
+def centroid_reg_on_voxel_np(
+    xyz: np.ndarray,
+    labels: np.ndarray,
+    tower_label: Union[int, Sequence[int]],
+    vxg_size: Optional[Tuple[int, int, int]] = (64, 64, 64),
+    vox_size: Optional[Tuple[float, float, float]] = None,
+    spec: Optional[VoxelGridSpec] = None,
+) -> np.ndarray:
+    """(4, Z, X, Y): per-voxel xyz centroid + the tower-fraction channel of
+    :func:`reg_on_voxel_np` (working twin of the reference's missing
+    ``Vox.centroid_reg_on_voxel``, ``torch_transforms.py:162``)."""
+    xyz = np.asarray(xyz, np.float64)
+    if spec is None:
+        spec = compute_grid_spec(xyz, vxg_size, vox_size)
+    cent = centroid_hist_on_voxel_np(xyz, spec=spec)[:3]
+    reg = reg_on_voxel_np(xyz, labels, tower_label, spec=spec)
+    return np.concatenate([cent, reg[None]])
+
+
 def vxg_to_xyz_np(
     vxg: np.ndarray,
     origin: Optional[ArrayLike] = None,

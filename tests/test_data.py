@@ -266,3 +266,45 @@ class TestETL:
         n2 = build_data_samples([str(las_dir)], save_dir,
                                 data_split={"fit": 0.5, "test": 0.5})
         assert n2 <= n
+
+
+class TestDownsampling:
+    """Per-voxel downsampling semantics (reference pcd_processing.py:375-421;
+    VERDICT r1 'what's missing' #2)."""
+
+    def test_output_grouped_by_voxel(self, small_cloud):
+        from scenenet_tpu.data.pcd import downsampling
+        from scenenet_tpu.ops.voxel_np import compute_grid_spec, voxel_indices_np
+
+        xyz, classes = small_cloud[:, :3], small_cloud[:, 3]
+        out_xyz, out_cls = downsampling(xyz, classes, samp_per=0.7, seed=1)
+        assert 0 < len(out_xyz) < len(xyz)
+        # reference ordering contract: each voxel's survivors are contiguous
+        spec = compute_grid_spec(xyz, (64, 64, 64))
+        idx = voxel_indices_np(out_xyz, spec)
+        n_x, n_y, _ = spec.shape
+        flat = (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
+        changes = np.count_nonzero(np.diff(flat) != 0) + 1
+        assert changes == len(np.unique(flat)), "voxel groups not contiguous"
+
+    def test_classes_follow_points(self, small_cloud):
+        from scenenet_tpu.data.pcd import downsampling
+
+        xyz, classes = small_cloud[:, :3], small_cloud[:, 3]
+        out_xyz, out_cls = downsampling(xyz, classes, samp_per=0.5, seed=2)
+        # every output (point, class) pair exists in the input pairing
+        lookup = {tuple(np.round(p, 9)): c for p, c in zip(xyz, classes)}
+        for p, c in zip(out_xyz[:200], out_cls[:200]):
+            assert lookup[tuple(np.round(p, 9))] == c
+
+    def test_retention_rate_binomial(self, small_cloud):
+        from scenenet_tpu.data.pcd import downsampling
+
+        xyz, classes = small_cloud[:, :3], small_cloud[:, 3]
+        n = len(xyz)
+        for p in (0.25, 0.5, 0.8):
+            kept = len(downsampling(xyz, classes, samp_per=p, seed=3)[0])
+            # 5-sigma binomial bound — retention is i.i.d. per point,
+            # exactly the reference's per-voxel rand() draws
+            sigma = np.sqrt(n * p * (1 - p))
+            assert abs(kept - n * p) < 5 * sigma
