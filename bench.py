@@ -98,7 +98,7 @@ def _tpu_throughput(clouds) -> float:
     import jax.numpy as jnp
 
     from scenenet_tpu.models import SceneNet
-    from scenenet_tpu.ops.voxelize import prob_to_label, voxelize_batch_hist
+    from scenenet_tpu.ops.voxelize import prob_to_label, voxelize_batch_occupancy
 
     net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
                                   kernel_size=(9, 5, 5), seed=0,
@@ -115,8 +115,9 @@ def _tpu_throughput(clouds) -> float:
         mask[b, :n] = True
 
     def pipeline(params, pts, mask):
-        hist = voxelize_batch_hist(pts, mask, GRID)
-        grids = (hist > 0).astype(jnp.float32)[:, None]
+        # fused Pallas points→occupancy kernel (bounds + binning + int8
+        # MXU histogram in VMEM; exactly (voxelize_batch_hist > 0))
+        grids = voxelize_batch_occupancy(pts, mask, GRID)[:, None]
         pred = net.apply(params, grids)
         return prob_to_label(pred, 0.65)
 

@@ -1,4 +1,5 @@
 from scenenet_tpu.models.scenenet import (
+    GENEONet,
     SceneNet,
     SceneNetClassifier,
     QuantileSceneNet,
@@ -7,6 +8,7 @@ from scenenet_tpu.models.cnn_baseline import CnnBaseline, CnnBaseline2
 from scenenet_tpu.models.unet3d import UNet3D
 
 __all__ = [
+    "GENEONet",
     "SceneNet",
     "SceneNetClassifier",
     "QuantileSceneNet",

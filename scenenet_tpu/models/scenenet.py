@@ -226,6 +226,18 @@ class SceneNet:
         return out
 
 
+def GENEONet(geneo_num=None, kernel_size=(9, 6, 6), seed: int = 0,
+             backend: str = "xla"):
+    """Alias for SCENE_Net v1 — the reference's ``GENEONet``
+    (``core/models/GENEONet.py:89-180``) is a byte-for-byte duplicate of
+    ``SCENE_Net`` (same v1 kernels, U[0,0.6] λ init, identical forward)
+    living in a dead import tree (``scenenet_pipeline.torch_geneo``, which
+    doesn't resolve there). Returns ``(model, params)`` with
+    ``version="v1"``."""
+    return SceneNet.create(geneo_num, kernel_size, version="v1", seed=seed,
+                           backend=backend)
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantileSceneNet:
     """Ensemble of one SceneNet per target quantile (aleatoric uncertainty).

@@ -73,6 +73,139 @@ def _hist_kernel(ids_ref, w_ref, o_ref, *, n_hi: int, channels: int,
     lax.fori_loop(0, n_chunks, body, 0)
 
 
+def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
+                        n_hi: int, channels: int, n_chunks: int, chunk: int,
+                        dtype):
+    """Fused raw-points → two-channel histogram.
+
+    Phase 1 reduces masked per-axis bounds (regular-bounding-box expanded,
+    pyntcloud rule) to scalars; phase 2 computes each chunk's flat (z,x,y)
+    bin ids in VMEM and feeds the same one-hot MXU dots as
+    :func:`_hist_kernel`. Raw points are read from HBM exactly once and no
+    intermediate id tensor ever exists in HBM (the XLA formulation spends
+    ~1.4 ms/batch on the index computation alone, plus its HBM round-trip).
+    """
+    n_x, n_y, n_z = grid_shape
+    acc_dtype = o_ref.dtype
+    o_ref[0] = jnp.zeros_like(o_ref[0])
+    lo_shift = LO.bit_length() - 1
+
+    m = m_ref[0] != 0  # (n_chunks, CHUNK)
+    big = jnp.float32(3.4e38)
+    axes_lo = []
+    axes_hi = []
+    for a in range(3):
+        p = pts_ref[0, a]
+        axes_lo.append(jnp.min(jnp.where(m, p, big)))
+        axes_hi.append(jnp.max(jnp.where(m, p, -big)))
+    rngs = [h - l for l, h in zip(axes_lo, axes_hi)]
+    rmax = jnp.maximum(rngs[0], jnp.maximum(rngs[1], rngs[2]))
+    lo = [l - (rmax - r) * 0.5 for l, r in zip(axes_lo, rngs)]
+    hi = [h + (rmax - r) * 0.5 for h, r in zip(axes_hi, rngs)]
+    shape_f = (jnp.float32(n_x), jnp.float32(n_y), jnp.float32(n_z))
+    inv_step = [s / jnp.maximum(h - l, jnp.float32(1e-30))
+                for l, h, s in zip(lo, hi, shape_f)]
+
+    invalid = n_hi * LO
+
+    def bin_axis(a, n):
+        p = pts_ref[0, a]
+        rel = (p - lo[a]) * inv_step[a]
+        idx = jnp.ceil(rel - jnp.float32(1e-4)).astype(jnp.int32) - 1
+        return jnp.clip(idx, 0, n - 1)
+
+    ix = bin_axis(0, n_x)
+    iy = bin_axis(1, n_y)
+    iz = bin_axis(2, n_z)
+    # staged through a VMEM scratch: Mosaic has no dynamic_slice on values
+    flat_ref[...] = jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
+
+    def body(c, _):
+        ids = flat_ref[pl.ds(c, 1)][0]  # (chunk,)
+        hi_c = ids >> lo_shift
+        lo_c = ids & (LO - 1)
+        mask_hi = hi_c[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, n_hi), 1)
+        a = mask_hi.astype(dtype)
+        b = (lo_c[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, LO), 1))
+        b = b.astype(dtype)
+        dims = (((0,), (0,)), ((), ()))
+        if channels == 2:
+            wcol = w_ref[0, pl.ds(c, 1)][0][:, None]
+            aw = jnp.logical_and(mask_hi, wcol != 0).astype(dtype)
+            o_ref[0, :n_hi] += lax.dot_general(
+                a, b, dims, preferred_element_type=acc_dtype)
+            o_ref[0, n_hi:] += lax.dot_general(
+                aw, b, dims, preferred_element_type=acc_dtype)
+        else:
+            o_ref[0] += lax.dot_general(a, b, dims,
+                                        preferred_element_type=acc_dtype)
+        return 0
+
+    lax.fori_loop(0, n_chunks, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
+                                             "chunk", "channels"))
+def pallas_points_bin_counts(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    tower: Optional[jnp.ndarray],
+    grid_shape: Tuple[int, int, int],
+    interpret: bool = False,
+    chunk: int = CHUNK,
+    channels: int = 2,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(B, N, 3) raw points (+mask, optional tower indicator) →
+    (B, size) counts [, tower counts]: bounds, binning and histogram fused
+    in one Pallas kernel (int8 MXU dots; f32 binning math identical to
+    :func:`scenenet_tpu.ops.voxelize.voxel_indices`)."""
+    b, n, _ = points.shape
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    n_hi = -(-size // LO)
+    if n % chunk:
+        pad = chunk - n % chunk
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        if tower is not None:
+            tower = jnp.pad(tower, ((0, 0), (0, pad)))
+        n += pad
+    n_chunks = n // chunk
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    pts_t = pts_t.reshape(b, 3, n_chunks, chunk)
+    m = mask.astype(jnp.int32).reshape(b, n_chunks, chunk)
+    w = (tower.astype(jnp.int32) if tower is not None else
+         jnp.zeros((b, n), jnp.int32)).reshape(b, n_chunks, chunk)
+
+    pts_spec = pl.BlockSpec((1, 3, n_chunks, chunk), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_points_hist_kernel, grid_shape=grid_shape,
+                          n_hi=n_hi, channels=channels, n_chunks=n_chunks,
+                          chunk=chunk, dtype=jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, channels * n_hi, LO), jnp.int32),
+        grid=(b,),
+        in_specs=[pts_spec, id_spec, id_spec],
+        out_specs=pl.BlockSpec((1, channels * n_hi, LO), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_chunks, chunk), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pts_t, m, w)
+
+    out = out.astype(jnp.float32)
+    counts = out[:, :n_hi].reshape(b, n_hi * LO)[:, :size]
+    if channels == 2:
+        wsum = out[:, n_hi:].reshape(b, n_hi * LO)[:, :size]
+        return counts, wsum
+    return counts, None
+
+
 @functools.partial(jax.jit, static_argnames=("size", "interpret", "int8",
                                              "chunk", "split_dots"))
 def pallas_bin_counts(

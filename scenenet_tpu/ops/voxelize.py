@@ -316,6 +316,13 @@ def _batch_from_flat(
     return hist, reg
 
 
+def _is_tower(labels: jnp.ndarray, keep_labels: Tuple[int, ...]) -> jnp.ndarray:
+    is_tower = jnp.zeros(labels.shape, bool)
+    for lbl in keep_labels:
+        is_tower = jnp.logical_or(is_tower, labels == lbl)
+    return is_tower
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
 def voxelize_batch(
     points: jnp.ndarray,
@@ -325,17 +332,75 @@ def voxelize_batch(
     grid_shape: Tuple[int, int, int] = (64, 64, 64),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched twin of :func:`voxelize_fused`: (B, N, 3) points →
-    ((B, n_z, n_x, n_y) hist, reg) through the flat-scatter fast path."""
+    ((B, n_z, n_x, n_y) hist, reg). On TPU the bounds + binning + two-
+    channel histogram run in ONE fused Pallas kernel
+    (:func:`scenenet_tpu.ops.pallas_hist.pallas_points_bin_counts` —
+    points read from HBM once, no intermediate id tensor); elsewhere the
+    vmapped index computation feeds the einsum path."""
+    b = points.shape[0]
+    n_x, n_y, n_z = grid_shape
+    is_tower = _is_tower(labels, keep_labels)
+    if jax.default_backend() == "tpu":
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+        counts, tower = pallas_points_bin_counts(
+            points, mask, jnp.logical_and(is_tower, mask), grid_shape)
+        counts = counts.reshape(b, n_z, n_x, n_y)
+        tower = tower.reshape(b, n_z, n_x, n_y)
+        hist = jax.vmap(normalize_per_column)(counts)
+        reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
+        return hist, reg
 
     def per_sample_flat(p, m):
         lo, hi = grid_bounds(p, m)
         return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
 
     flat = jax.vmap(per_sample_flat)(points, mask)
-    is_tower = jnp.zeros(labels.shape, bool)
-    for lbl in keep_labels:
-        is_tower = jnp.logical_or(is_tower, labels == lbl)
     return _batch_from_flat(flat, is_tower, mask, grid_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
+def voxelize_batch_binary(
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    mask: jnp.ndarray,
+    keep_labels: Tuple[int, ...] = (15,),
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binarized (occupancy, tower-presence) grids — the exact composition
+    ``ToFullDense ∘ voxelize_batch`` with the wasted work removed:
+
+    - y: ``reg > 0 ⟺ tower_counts > 0`` (the count division cancels);
+    - x: ``normalize_per_column(counts) > 0 ⟺ counts > per-column min``
+      (minmax scaling preserves the strict ordering within a column).
+
+    Saves the 1.6 ms/batch-16 per-column normalization + the reg division
+    on the training fast path. Returns float32 {0,1} grids.
+    """
+    b = points.shape[0]
+    n_x, n_y, n_z = grid_shape
+    is_tower = _is_tower(labels, keep_labels)
+    if jax.default_backend() == "tpu":
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+        counts, tower = pallas_points_bin_counts(
+            points, mask, jnp.logical_and(is_tower, mask), grid_shape)
+        counts = counts.reshape(b, n_z, n_x, n_y)
+        tower = tower.reshape(b, n_z, n_x, n_y)
+    else:
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
+
+        flat = jax.vmap(per_sample_flat)(points, mask)
+        tower_w = jnp.logical_and(is_tower, mask)
+        counts, tower = _mxu_bin_counts2(flat, mask, tower_w, n_x * n_y * n_z)
+        counts = counts.reshape(b, n_z, n_x, n_y)
+        tower = tower.reshape(b, n_z, n_x, n_y)
+    colmin = jnp.min(counts.reshape(b, -1, n_y), axis=1)[:, None, None, :]
+    x = (counts > colmin).astype(jnp.float32)
+    y = (tower > 0).astype(jnp.float32)
+    return x, y
 
 
 _MXU_LO = 512     # low-half one-hot width (4 × 128 lanes)
@@ -466,23 +531,26 @@ def voxelize_batch_hist(
     """Inference fast path: batched density grids only.
 
     ``method='mxu'`` (default) computes the histogram as one-hot matmuls on
-    the systolic array; ``'scatter'`` uses the flat segment_sum."""
+    the systolic array (fully fused from raw points on TPU);
+    ``'scatter'`` uses the flat segment_sum."""
+    b = points.shape[0]
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    if method == "mxu" and jax.default_backend() == "tpu":
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+        counts = pallas_points_bin_counts(points, mask, None, grid_shape,
+                                          channels=1)[0]
+        counts = counts.reshape(b, n_z, n_x, n_y)
+        return jax.vmap(normalize_per_column)(counts)
 
     def per_sample_flat(p, m):
         lo, hi = grid_bounds(p, m)
         return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
 
     flat = jax.vmap(per_sample_flat)(points, mask)
-    b, n = flat.shape
-    n_x, n_y, n_z = grid_shape
-    size = n_x * n_y * n_z
     if method == "mxu":
-        if jax.default_backend() == "tpu":
-            from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
-
-            counts = pallas_bin_counts(flat, mask, size)[0]
-        else:
-            counts = _mxu_bin_counts(flat, mask, size)
+        counts = _mxu_bin_counts(flat, mask, size)
         counts = counts.reshape(b, n_z, n_x, n_y)
     else:
         offs = jnp.arange(b, dtype=jnp.int32)[:, None] * size
@@ -491,6 +559,35 @@ def voxelize_batch_hist(
         sums = jax.ops.segment_sum(vals, ids, num_segments=b * size + 1)[: b * size]
         counts = sums.reshape(b, n_z, n_x, n_y)
     return jax.vmap(normalize_per_column)(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape",))
+def voxelize_batch_occupancy(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int] = (64, 64, 64),
+) -> jnp.ndarray:
+    """Binarized occupancy grids: exactly ``voxelize_batch_hist > 0``
+    with the per-column normalization skipped (``counts > column-min`` —
+    minmax preserves strict ordering within a column). The inference
+    fast path for models that binarize their input (all of them)."""
+    b = points.shape[0]
+    n_x, n_y, n_z = grid_shape
+    if jax.default_backend() == "tpu":
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+        counts = pallas_points_bin_counts(points, mask, None, grid_shape,
+                                          channels=1)[0]
+    else:
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
+
+        flat = jax.vmap(per_sample_flat)(points, mask)
+        counts = _mxu_bin_counts(flat, mask, n_x * n_y * n_z)
+    counts = counts.reshape(b, n_z, n_x, n_y)
+    colmin = jnp.min(counts.reshape(b, -1, n_y), axis=1)[:, None, None, :]
+    return (counts > colmin).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape",))

@@ -76,12 +76,22 @@ def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
     :class:`scenenet_tpu.data.transforms.PointPadding` for bit-parity;
     otherwise bins are computed on device from the raw coordinates.
     """
-    from scenenet_tpu.ops.voxelize import voxelize_batch, voxelize_batch_from_indices
+    from scenenet_tpu.ops.voxelize import (
+        voxelize_batch,
+        voxelize_batch_binary,
+        voxelize_batch_from_indices,
+    )
 
     def prep(points, labels, mask, flat_idx=None):
         if use_indices and flat_idx is not None:
             is_tower = jnp.isin(labels, jnp.asarray(keep_labels))
             hist, reg = voxelize_batch_from_indices(flat_idx, is_tower, mask, grid_shape)
+        elif binarize == (True, True) or binarize == [True, True]:
+            # training fast path: exact ToFullDense∘voxelize with the
+            # normalization/division skipped (see voxelize_batch_binary)
+            x, y = voxelize_batch_binary(points, labels, mask,
+                                         tuple(keep_labels), grid_shape)
+            return x[:, None], y[:, None]
         else:
             hist, reg = voxelize_batch(points, labels, mask, tuple(keep_labels), grid_shape)
         x = hist[:, None]

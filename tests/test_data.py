@@ -308,3 +308,38 @@ class TestDownsampling:
             # exactly the reference's per-voxel rand() draws
             sigma = np.sqrt(n * p * (1 - p))
             assert abs(kept - n * p) < 5 * sigma
+
+
+class TestXYZVoxelization:
+    """Working twins of the reference's dead-code xyz_ transforms
+    (torch_transforms.py:109-166 calls undefined centroid_* functions)."""
+
+    def test_centroid_channels(self, small_cloud):
+        from scenenet_tpu.data.transforms import XYZToFullDense, XYZVoxelization
+        from scenenet_tpu.ops.voxel_np import (
+            compute_grid_spec, hist_on_voxel_np, reg_on_voxel_np, voxel_indices_np,
+        )
+
+        xyz, labels = small_cloud[:, :3], small_cloud[:, 3]
+        cent, dense, reg = XYZVoxelization((15,), vxg_size=(16, 16, 16))((xyz, labels))
+        assert cent.shape == (1, 3, 16, 16, 16)
+        assert dense.shape == reg.shape == (1, 16, 16, 16)
+        # density channel equals hist_on_voxel; reg channel equals reg_on_voxel
+        np.testing.assert_allclose(dense[0], hist_on_voxel_np(xyz, (16, 16, 16)),
+                                   atol=1e-6)
+        np.testing.assert_allclose(reg[0], reg_on_voxel_np(xyz, labels, 15, (16, 16, 16)),
+                                   atol=1e-6)
+        # centroid of an occupied voxel is the mean of its points
+        spec = compute_grid_spec(xyz, (16, 16, 16))
+        idx = voxel_indices_np(xyz, spec)
+        xi, yi, zi = idx[0]
+        in_vox = np.all(idx == idx[0], axis=1)
+        np.testing.assert_allclose(cent[0, :, zi, xi, yi], xyz[in_vox].mean(0),
+                                   rtol=1e-6)
+        # empty voxels carry zero centroid
+        empty = dense[0] == 0
+        assert np.all(cent[0][:, empty] == 0)
+        # FullDense binarizes dense + labels, keeps centroid untouched
+        c2, d2, r2 = XYZToFullDense()((cent, dense, reg))
+        assert set(np.unique(d2)) <= {0.0, 1.0}
+        np.testing.assert_array_equal(c2, cent)

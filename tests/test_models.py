@@ -131,3 +131,14 @@ class TestVariants:
         assert (p >= 0).all() and (p <= 1).all()  # sigmoid
         pred_t, updates = model.apply(variables, voxel_batch, train=True)
         assert "batch_stats" in updates
+
+
+class TestGENEONetAlias:
+    def test_is_v1_scenenet(self):
+        from scenenet_tpu.models import GENEONet, SceneNet
+
+        net, params = GENEONet(kernel_size=(9, 6, 6), seed=7)
+        ref, ref_params = SceneNet.create(kernel_size=(9, 6, 6), version="v1", seed=7)
+        assert net.version == "v1"
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

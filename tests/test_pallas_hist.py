@@ -37,3 +37,47 @@ class TestPallasHist:
         ref = np.zeros((b, v))
         np.add.at(ref[0], flat[0], 1.0)
         np.testing.assert_allclose(np.asarray(counts), ref)
+
+
+class TestFusedPointsHist:
+    """Fused raw-points → histogram kernel (bounds+binning in VMEM)."""
+
+    def test_matches_index_path(self):
+        import jax
+
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+        from scenenet_tpu.ops.voxelize import (
+            _flat_zxy_idx, _mxu_bin_counts2, grid_bounds, voxel_indices,
+        )
+
+        rng = np.random.default_rng(3)
+        B, N, grid = 2, 5000, (16, 16, 16)
+        pts = jnp.asarray(rng.uniform(0, 30, (B, N, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) > 0.1)
+        tower = jnp.asarray(rng.random((B, N)) > 0.7)
+        tower_w = jnp.logical_and(tower, mask)
+
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid), grid)
+
+        flat = jax.vmap(per_sample_flat)(pts, mask)
+        c_ref, t_ref = _mxu_bin_counts2(flat, mask, tower_w, 16**3)
+        c, t = pallas_points_bin_counts(pts, mask, tower_w, grid, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))
+
+    def test_voxelize_batch_binary_matches_composition(self):
+        from scenenet_tpu.ops.voxelize import (
+            normalize_per_column, voxelize_batch, voxelize_batch_binary,
+        )
+
+        rng = np.random.default_rng(5)
+        B, N, grid = 2, 4000, (16, 16, 16)
+        pts = jnp.asarray(rng.uniform(0, 20, (B, N, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.choice([1, 2, 15], (B, N)).astype(np.int32))
+        mask = jnp.asarray(rng.random((B, N)) > 0.05)
+        hist, reg = voxelize_batch(pts, labels, mask, (15,), grid)
+        x, y = voxelize_batch_binary(pts, labels, mask, (15,), grid)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(hist > 0))
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(reg > 0))
