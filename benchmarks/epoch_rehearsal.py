@@ -56,7 +56,17 @@ def main():
     ap.add_argument("--max-points", type=int, default=65536)
     ap.add_argument("--root", default="/tmp/ts40k_rehearsal")
     ap.add_argument("--loader-only", action="store_true")
+    ap.add_argument("--device-cache", action="store_true",
+                    help="load the dataset to HBM once, then train epochs "
+                         "with ZERO host transfer (on-device shuffle + "
+                         "z-rotation/flip augmentation)")
+    ap.add_argument("--scan-epoch", action="store_true",
+                    help="device cache + the whole epoch as ONE lax.scan "
+                         "dispatch (Trainer.fit_cached)")
+    ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
+    if args.scan_epoch:
+        args.device_cache = True
 
     generate(args.root, args.n, args.points)
 
@@ -70,16 +80,17 @@ def main():
     loader = PointCloudLoader(ds, batch_size=args.batch, shuffle=True,
                               num_workers=args.workers, drop_last=True)
 
-    # loader-only epoch: host pipeline ceiling (disk → pad/center → collate)
-    t0 = time.perf_counter()
-    n_samples = 0
-    for batch in loader:
-        n_samples += batch[0].shape[0]
-    dt = time.perf_counter() - t0
-    print(f"[loader-only] {n_samples} samples in {dt:.1f}s = "
-          f"{n_samples / dt:.0f} samples/s (host, {args.workers} threads)")
-    if args.loader_only:
-        return
+    if not args.device_cache:
+        # loader-only epoch: host pipeline ceiling (disk → pad → collate)
+        t0 = time.perf_counter()
+        n_samples = 0
+        for batch in loader:
+            n_samples += batch[0].shape[0]
+        dt = time.perf_counter() - t0
+        print(f"[loader-only] {n_samples} samples in {dt:.1f}s = "
+              f"{n_samples / dt:.0f} samples/s (host, {args.workers} threads)")
+        if args.loader_only:
+            return
 
     import jax
     import jax.numpy as jnp
@@ -95,16 +106,68 @@ def main():
         weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
         tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
     prep = make_device_voxelize_prep((64, 64, 64), (15,), use_indices=False)
-    cfg = TrainConfig(max_epochs=1, optimizer="adam", learning_rate=1e-3,
+    n_epochs = args.epochs if args.device_cache else 1
+    cfg = TrainConfig(max_epochs=n_epochs, optimizer="adam", learning_rate=1e-3,
                       early_stop_metric=None, log_gradients=False,
                       checkpoint_dir=os.path.join(args.root, "ckpt"),
                       run_dir=os.path.join(args.root, "run"))
     trainer = Trainer(net, crit, cfg, batch_prep=prep)
+    n_samples = (len(ds) // args.batch) * args.batch
+
+    if args.device_cache:
+        from scenenet_tpu.data.device_cache import CacheLoader, DevicePointCache
+
+        t0 = time.perf_counter()
+        cache = DevicePointCache(ds)
+        print(f"[cache] {len(cache)} samples resident in HBM "
+              f"({time.perf_counter() - t0:.1f}s one-time load)")
+
+        if args.scan_epoch:
+            import json
+
+            run_dir = os.path.join(args.root, "run_scan")
+            cfg2 = TrainConfig(max_epochs=args.epochs, optimizer="adam",
+                               learning_rate=1e-3, early_stop_metric=None,
+                               log_gradients=False,
+                               checkpoint_dir=os.path.join(args.root, "ckpt_scan"),
+                               run_dir=run_dir)
+            trainer2 = Trainer(net, crit, cfg2, batch_prep=prep)
+            _, best = trainer2.fit_cached(params, cache, batch_size=args.batch,
+                                          augment=True,
+                                          key=jax.random.PRNGKey(0))
+            with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+                for line in f:
+                    row = json.loads(line)
+                    if "epoch_time_s" in row:
+                        e, dt = row["step"], row["epoch_time_s"]
+                        tag = " (compile)" if e == 0 else ""
+                        print(f"[scan epoch {e}] {n_samples / dt:.0f} "
+                              f"samples/s ({dt:.1f}s){tag}")
+            print(f"loss {best['train_loss']:.4f}")
+            return
+
+        cloader = CacheLoader(cache, args.batch, key=jax.random.PRNGKey(0),
+                              shuffle=True, augment=True)
+        epoch_times = []
+
+        class _Timing:
+            def __iter__(self):
+                epoch_times.append(time.perf_counter())
+                return iter(cloader)
+
+        _, best = trainer.fit(params, _Timing())
+        epoch_times.append(time.perf_counter())
+        per_epoch = [b - a for a, b in zip(epoch_times, epoch_times[1:])]
+        for e, dt in enumerate(per_epoch):
+            tag = " (compile + load)" if e == 0 else ""
+            print(f"[device-cache epoch {e}] {n_samples / dt:.0f} samples/s"
+                  f" ({dt:.1f}s){tag}")
+        print(f"loss {best['train_loss']:.4f}")
+        return
 
     t0 = time.perf_counter()
     _, best = trainer.fit(params, loader)
     dt = time.perf_counter() - t0
-    n_samples = (len(ds) // args.batch) * args.batch
     print(f"[full epoch] {n_samples} samples in {dt:.1f}s = "
           f"{n_samples / dt:.0f} samples/s end-to-end "
           f"(loss {best['train_loss']:.4f}); includes first-step compile")

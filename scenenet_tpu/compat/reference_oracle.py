@@ -84,6 +84,19 @@ def load_reference(root: str = REFERENCE_ROOT) -> Optional[types.SimpleNamespace
         return None
     os.environ.setdefault("MPLBACKEND", "Agg")  # headless matplotlib
     _install_stubs()
+    # the reference's hist_estimation.pickle stores CUDA tensors; raw
+    # unpickling routes storage bytes through torch.load WITHOUT a
+    # map_location and dies on CPU-only machines — remap to CPU globally
+    # (this environment never has CUDA)
+    import io
+
+    import torch
+
+    if not getattr(torch.storage, "_snt_cpu_patch", False):
+        torch.storage._load_from_bytes = (
+            lambda b: torch.load(io.BytesIO(b), map_location="cpu",
+                                 weights_only=False))
+        torch.storage._snt_cpu_patch = True
     added = False
     if root not in sys.path:
         sys.path.insert(0, root)
@@ -93,11 +106,23 @@ def load_reference(root: str = REFERENCE_ROOT) -> Optional[types.SimpleNamespace
         arrow = importlib.import_module("core.models.geneos.arrow")
         neg_sphere = importlib.import_module("core.models.geneos.neg_sphere")
         scene_net = importlib.import_module("core.models.SCENE_Net")
+        w_mse = importlib.import_module("core.criterions.w_mse")
+        geneo_loss = importlib.import_module("core.criterions.geneo_loss")
+        tversky = importlib.import_module("core.criterions.tversky_loss")
+        dice = importlib.import_module("core.criterions.dice_loss")
+        focal = importlib.import_module("core.criterions.focal_loss")
+        iou = importlib.import_module("core.criterions.iou_loss")
+        # NOT imported: core/criterions/quant_loss.py — its module-level
+        # `from scenenet_pipeline.torch_geneo...` targets a tree that does
+        # not exist in the reference (broken there; our quantile losses are
+        # covered by transcription tests instead)
     finally:
         if added:
             sys.path.remove(root)
     _cache = types.SimpleNamespace(
         cylinder=cylinder, arrow=arrow, neg_sphere=neg_sphere,
-        scene_net=scene_net,
+        scene_net=scene_net, w_mse=w_mse, geneo_loss=geneo_loss,
+        tversky=tversky, dice=dice, focal=focal, iou=iou,
+        hist_pickle=os.path.join(root, "core/criterions/hist_estimation.pickle"),
     )
     return _cache

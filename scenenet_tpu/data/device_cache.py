@@ -1,0 +1,159 @@
+"""Device-resident dataset cache: serve training batches from HBM.
+
+The reference's throughput ceiling is its host input pipeline (CPU-worker
+voxelization); round-2 rehearsal showed even our lightweight host prep
+(~425 samples/s/core) plus host→device transfer can bound a 12 ms train
+step on core-starved or link-starved hosts. The TPU-native fix for
+datasets that fit in HBM (TS40K: ~2k crops × 65k padded points ≈ 2.2 GB
+of a 16 GB v5e): pay the load ONCE, then every epoch is pure device work —
+
+- batches are on-device gathers (``jnp.take``) out of the resident arrays,
+- voxelization already runs inside the jitted step (fused Pallas kernel),
+- optional per-sample z-rotation/flip augmentation is applied on device
+  from a ``jax.random`` key, so cached points still get fresh geometry
+  every epoch (towers are z-aligned: z-rotation is label-preserving).
+
+Complements (does not replace) the host loaders: use those for
+bigger-than-HBM datasets or host-side transforms.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rotate_z_batch(points: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each sample's xyz about its own xy-centroid by its angle.
+
+    points (B, N, 3), angles (B,) → (B, N, 3). Padded rows rotate too —
+    harmless, they are masked out of bounds/binning."""
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    center = points[..., :2].mean(axis=1, keepdims=True)
+    xy = points[..., :2] - center
+    x = xy[..., 0] * c[:, None] - xy[..., 1] * s[:, None]
+    y = xy[..., 0] * s[:, None] + xy[..., 1] * c[:, None]
+    return jnp.concatenate(
+        [jnp.stack([x, y], axis=-1) + center, points[..., 2:]], axis=-1)
+
+
+class CacheLoader:
+    """Re-iterable epoch view over a :class:`DevicePointCache` — drop-in
+    for the Trainer's ``train_loader`` (each ``__iter__`` is a fresh
+    shuffled/augmented epoch; batches are device arrays, so the Trainer's
+    ``jnp.asarray`` is a no-op and epochs involve no host transfer)."""
+
+    def __init__(self, cache: "DevicePointCache", batch_size: int,
+                 key: Optional[jax.Array] = None, shuffle: bool = True,
+                 augment: bool = False, drop_last: bool = True):
+        self.cache = cache
+        self.batch_size = batch_size
+        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.shuffle = shuffle
+        self.augment = augment
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.cache)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        self.key, sub = jax.random.split(self.key)
+        return self.cache.epoch(self.batch_size, key=sub, shuffle=self.shuffle,
+                                augment=self.augment, drop_last=self.drop_last)
+
+
+class DevicePointCache:
+    """Whole-dataset (points, labels, mask) resident on one device.
+
+    Feed with any dataset yielding ``(points, labels, mask[, flat_idx])``
+    fixed-size samples (e.g. ``TS40K`` + ``PointPadding``)."""
+
+    def __init__(self, dataset, device: Optional[jax.Device] = None,
+                 load_batch: int = 64):
+        pts_parts, lab_parts, mask_parts = [], [], []
+        buf_p, buf_l, buf_m = [], [], []
+
+        def flush():
+            if not buf_p:
+                return
+            pts_parts.append(jax.device_put(np.stack(buf_p), device))
+            lab_parts.append(jax.device_put(np.stack(buf_l), device))
+            mask_parts.append(jax.device_put(np.stack(buf_m), device))
+            buf_p.clear(), buf_l.clear(), buf_m.clear()
+
+        for i in range(len(dataset)):
+            sample = dataset[i]
+            pts, labels, mask = sample[0], sample[1], sample[2]
+            buf_p.append(np.asarray(pts, np.float32))
+            buf_l.append(np.asarray(labels, np.int32))
+            buf_m.append(np.asarray(mask, bool))
+            if len(buf_p) >= load_batch:
+                flush()
+        flush()
+        self.points = jnp.concatenate(pts_parts)
+        self.labels = jnp.concatenate(lab_parts)
+        self.mask = jnp.concatenate(mask_parts)
+
+    def __len__(self) -> int:
+        return int(self.points.shape[0])
+
+    def epoch(
+        self,
+        batch_size: int,
+        key: Optional[jax.Array] = None,
+        shuffle: bool = True,
+        augment: bool = False,
+        drop_last: bool = True,
+    ) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """Yield device-side (points, labels, mask) batches for one epoch.
+
+        ``key`` drives shuffling and augmentation; required when either is
+        on. All gathers/rotations execute on device — no host transfer."""
+        n = len(self)
+        if (shuffle or augment) and key is None:
+            raise ValueError("epoch(shuffle/augment) needs a jax PRNG key")
+        if shuffle:
+            key, sub = jax.random.split(key)
+            order = jax.random.permutation(sub, n)
+        else:
+            order = jnp.arange(n)
+        n_batches = n // batch_size if drop_last else -(-n // batch_size)
+
+        # one jitted dispatch per batch: gather + (optional) augmentation
+        # compile once per (batch_size, augment) and stay device-side
+        @jax.jit
+        def build(points, labels, mask, order, start, key):
+            idx = jax.lax.dynamic_slice_in_dim(order, start, batch_size)
+            pts = jnp.take(points, idx, axis=0)
+            lab = jnp.take(labels, idx, axis=0)
+            m = jnp.take(mask, idx, axis=0)
+            if augment:
+                ka, kf = jax.random.split(key)
+                angles = jax.random.uniform(ka, (batch_size,),
+                                            minval=0.0, maxval=2 * jnp.pi)
+                pts = rotate_z_batch(pts, angles)
+                # random xy flips (label-preserving for z-aligned towers)
+                flips = jax.random.bernoulli(kf, 0.5, (batch_size, 2))
+                center = pts[..., :2].mean(axis=1, keepdims=True)
+                sign = jnp.where(flips, -1.0, 1.0)[:, None, :]
+                xy = (pts[..., :2] - center) * sign + center
+                pts = jnp.concatenate([xy, pts[..., 2:]], axis=-1)
+            return pts, lab, m
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        for b in range(n_batches):
+            start = b * batch_size
+            if start + batch_size > n:  # last partial batch (host slice)
+                idx = order[start:]
+                yield (jnp.take(self.points, idx, axis=0),
+                       jnp.take(self.labels, idx, axis=0),
+                       jnp.take(self.mask, idx, axis=0))
+                continue
+            key, sub = jax.random.split(key)
+            yield build(self.points, self.labels, self.mask, order,
+                        jnp.asarray(start), sub)

@@ -121,23 +121,26 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
     flat_ref[...] = jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
 
     def body(c, _):
-        ids = flat_ref[pl.ds(c, 1)][0]  # (chunk,)
+        ids = flat_ref[pl.ds(c, 1)]  # (1, chunk)
         hi_c = ids >> lo_shift
         lo_c = ids & (LO - 1)
-        mask_hi = hi_c[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, n_hi), 1)
-        a = mask_hi.astype(dtype)
-        b = (lo_c[:, None] == lax.broadcasted_iota(jnp.int32, (chunk, LO), 1))
+        # lhs one-hot built directly transposed, (n_hi, chunk): the dot
+        # then contracts lhs lanes against rhs sublanes — the MXU's
+        # natural (M,K)@(K,N) form, no internal lhsT relayout
+        mask_hi = hi_c == lax.broadcasted_iota(jnp.int32, (n_hi, chunk), 0)
+        at = mask_hi.astype(dtype)
+        b = (lo_c[0][:, None] == lax.broadcasted_iota(jnp.int32, (chunk, LO), 1))
         b = b.astype(dtype)
-        dims = (((0,), (0,)), ((), ()))
+        dims = (((1,), (0,)), ((), ()))
         if channels == 2:
-            wcol = w_ref[0, pl.ds(c, 1)][0][:, None]
-            aw = jnp.logical_and(mask_hi, wcol != 0).astype(dtype)
+            wrow = w_ref[0, pl.ds(c, 1)]  # (1, chunk)
+            awt = jnp.logical_and(mask_hi, wrow != 0).astype(dtype)
             o_ref[0, :n_hi] += lax.dot_general(
-                a, b, dims, preferred_element_type=acc_dtype)
+                at, b, dims, preferred_element_type=acc_dtype)
             o_ref[0, n_hi:] += lax.dot_general(
-                aw, b, dims, preferred_element_type=acc_dtype)
+                awt, b, dims, preferred_element_type=acc_dtype)
         else:
-            o_ref[0] += lax.dot_general(a, b, dims,
+            o_ref[0] += lax.dot_general(at, b, dims,
                                         preferred_element_type=acc_dtype)
         return 0
 

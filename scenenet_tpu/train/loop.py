@@ -324,6 +324,123 @@ class Trainer:
             return {"params": state.params, **(state.model_state or {})}, self.best.best
         return state.params, self.best.best
 
+    def fit_cached(
+        self,
+        params: Any,
+        cache: Any,
+        batch_size: int = 16,
+        augment: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[Any, Dict[str, float]]:
+        """Train from a :class:`scenenet_tpu.data.device_cache.DevicePointCache`
+        with ONE device dispatch per epoch.
+
+        The entire epoch — shuffled on-device gathers, optional z-rotation/
+        flip augmentation, the ``batch_prep`` voxelization, grads, optimizer
+        update and metric accumulation — is a single ``lax.scan`` under
+        ``jit``. Per-epoch host work is just logging/checkpointing. On a
+        remote-dispatch link (axon tunnel: ~40 ms/call) this collapses
+        2·n_batches round trips per epoch into one; on a local host it
+        removes the per-batch Python dispatch overhead entirely.
+
+        Stateless models only (the SceneNet family); requires
+        ``batch_prep``. Checkpointing/early-stopping follow ``self.config``
+        exactly as in :meth:`fit`.
+        """
+        assert self.batch_prep is not None, "fit_cached needs a batch_prep"
+        assert not self._stateful, "fit_cached supports stateless models"
+        from scenenet_tpu.data.device_cache import rotate_z_batch
+
+        cfg = self.config
+        mask_tree = self.model.trainable_mask(params) if \
+            hasattr(self.model, "trainable_mask") else None
+        state, tx = create_train_state(params, cfg.optimizer,
+                                       cfg.learning_rate, mask_tree)
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
+        needs_vf = optimizer_needs_value_fn(cfg.optimizer)
+        n = len(cache)
+        n_batches = n // batch_size
+        key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
+
+        @jax.jit
+        def epoch_fn(state: TrainState, points, labels, mask, key):
+            key, kperm = jax.random.split(key)
+            order = jax.random.permutation(kperm, n)
+
+            def body(carry, b):
+                state, mstate, loss_sum, key = carry
+                idx = jax.lax.dynamic_slice_in_dim(order, b * batch_size,
+                                                   batch_size)
+                pts = jnp.take(points, idx, axis=0)
+                lab = jnp.take(labels, idx, axis=0)
+                m = jnp.take(mask, idx, axis=0)
+                if augment:
+                    key, ka, kf = jax.random.split(key, 3)
+                    angles = jax.random.uniform(ka, (batch_size,),
+                                                minval=0.0, maxval=2 * jnp.pi)
+                    pts = rotate_z_batch(pts, angles)
+                    flips = jax.random.bernoulli(kf, 0.5, (batch_size, 2))
+                    center = pts[..., :2].mean(axis=1, keepdims=True)
+                    sign = jnp.where(flips, -1.0, 1.0)[:, None, :]
+                    pts = jnp.concatenate(
+                        [(pts[..., :2] - center) * sign + center,
+                         pts[..., 2:]], axis=-1)
+                x, y = self.batch_prep(pts, lab, m)
+                (loss, (pred, _)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(state.params, x, y, None)
+                if needs_vf:
+                    def value_fn(p):
+                        return self._loss(p, x, y, None)[0]
+
+                    updates, opt_state = tx.update(
+                        grads, state.opt_state, state.params,
+                        value=loss, grad=grads, value_fn=value_fn)
+                else:
+                    updates, opt_state = tx.update(grads, state.opt_state,
+                                                   state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                state = state.replace(step=state.step + 1, params=new_params,
+                                      opt_state=opt_state)
+                mstate = update_metrics(mstate, pred, y, cfg.tau)
+                return (state, mstate, loss_sum + loss, key), None
+
+            init = (state, init_metric_state(), jnp.zeros(()), key)
+            (state, mstate, loss_sum, _), _ = jax.lax.scan(
+                body, init, jnp.arange(n_batches))
+            return state, mstate, loss_sum / n_batches
+
+        monitors = {f"train_{m}": "max" for m in METRIC_NAMES}
+        monitors["train_loss"] = "min"
+        ckpt = CheckpointManager(cfg.checkpoint_dir, monitors,
+                                 top_k=cfg.checkpoint_top_k)
+        stopper = (EarlyStopping(cfg.early_stop_metric, cfg.early_stop_patience)
+                   if cfg.early_stop_metric else None)
+        self.best = BestMetricTracker()
+
+        epoch = 0
+        while cfg.max_epochs < 0 or epoch < cfg.max_epochs:
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            state, mstate, mean_loss = epoch_fn(
+                state, cache.points, cache.labels, cache.mask, sub)
+            scores = {f"train_{k}": float(v) for k, v in
+                      compute_metrics(mstate, cfg.fbeta).items()}
+            scores["train_loss"] = float(mean_loss)
+            scores["epoch_time_s"] = time.time() - t0
+            if hasattr(self.model, "parameters_in_dict"):
+                self.logger.log_params(
+                    self.model.parameters_in_dict(state.params), epoch)
+            self.logger.log_metrics(scores, epoch)
+            self.best.update(scores)
+            ckpt.step(state.params, scores, epoch)
+            if stopper is not None and stopper.update(scores):
+                break
+            epoch += 1
+
+        self._ckpt = ckpt
+        return state.params, self.best.best
+
     def _export_pointclouds(self, batch, pred, epoch: int) -> None:
         import os
 

@@ -343,3 +343,47 @@ class TestXYZVoxelization:
         c2, d2, r2 = XYZToFullDense()((cent, dense, reg))
         assert set(np.unique(d2)) <= {0.0, 1.0}
         np.testing.assert_array_equal(c2, cent)
+
+
+class TestDevicePointCache:
+    def test_serves_dataset_batches_on_device(self, small_cloud, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from scenenet_tpu.data.device_cache import DevicePointCache, rotate_z_batch
+        from scenenet_tpu.data.transforms import PointPadding
+        from scenenet_tpu.data.ts40k import TS40K
+
+        root = tmp_path / "ds" / "fit"
+        root.mkdir(parents=True)
+        for i in range(6):
+            np.save(root / f"s{i}.npy", small_cloud)
+        ds = TS40K(str(tmp_path / "ds"), split="fit",
+                   transform=PointPadding(max_points=4096, compute_indices=False))
+        cache = DevicePointCache(ds, load_batch=4)
+        assert len(cache) == 6
+        # unshuffled epoch reproduces the dataset exactly
+        batches = list(cache.epoch(2, shuffle=False, augment=False))
+        assert len(batches) == 3
+        p0, l0, m0 = ds[0][:3]
+        np.testing.assert_allclose(np.asarray(batches[0][0][0]), p0, atol=0)
+        np.testing.assert_array_equal(np.asarray(batches[0][1][0]), l0)
+        # shuffled + augmented epoch: same multiset of labels, z preserved
+        key = jax.random.PRNGKey(0)
+        aug = list(cache.epoch(2, key=key, shuffle=True, augment=True))
+        assert len(aug) == 3
+        z_orig = np.sort(np.asarray(cache.points[..., 2]).ravel())
+        z_aug = np.sort(np.concatenate([np.asarray(b[0][..., 2]).ravel() for b in aug]))
+        np.testing.assert_allclose(z_aug, z_orig, atol=1e-5)
+
+    def test_rotate_z_preserves_pairwise_distances(self):
+        import jax.numpy as jnp
+
+        from scenenet_tpu.data.device_cache import rotate_z_batch
+
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.uniform(0, 10, (2, 50, 3)).astype(np.float32))
+        out = rotate_z_batch(pts, jnp.asarray([0.7, -1.2]))
+        d_in = np.linalg.norm(np.asarray(pts)[:, :, None] - np.asarray(pts)[:, None], axis=-1)
+        d_out = np.linalg.norm(np.asarray(out)[:, :, None] - np.asarray(out)[:, None], axis=-1)
+        np.testing.assert_allclose(d_out, d_in, atol=1e-3)

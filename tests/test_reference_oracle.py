@@ -142,3 +142,150 @@ class TestFullForwardGolden:
         theirs = tnet(torch.tensor(x, dtype=torch.double)).detach().numpy()
         mine = np.asarray(net.apply(params, jnp.asarray(x)))
         np.testing.assert_allclose(mine, theirs, atol=5e-5, rtol=1e-4)
+
+
+def _rand_pred_gt(seed, shape=(2, 1, 12, 12, 12)):
+    rng = np.random.default_rng(seed)
+    pred = rng.random(shape).astype(np.float32)
+    gt = (rng.random(shape) > 0.9).astype(np.float32)
+    return pred, gt
+
+
+def _torch_param_dicts(net, params):
+    import torch.nn as nn
+
+    cvx = net.cvx_coefficients(params)
+    geneo = net.geneo_params_flat(params)
+    cvx_t = nn.ParameterDict({
+        k: nn.Parameter(torch.tensor(float(v)), requires_grad=(k != net.last_lambda))
+        for k, v in cvx.items()
+    })
+    geneo_t = nn.ParameterDict({
+        k: nn.Parameter(torch.tensor(float(v))) for k, v in geneo.items()
+    })
+    return cvx, geneo, cvx_t, geneo_t
+
+
+class TestCriterionGolden:
+    """Losses vs the ACTUAL reference criterion modules (core/criterions/*),
+    including the shipped hist_estimation.pickle weighting table."""
+
+    def test_weighted_mse(self):
+        from scenenet_tpu.losses import WeightedMSE
+
+        ours = WeightedMSE.create(weight_alpha=1, weight_epsilon=0.1, mse_weight=1)
+        theirs = ref.w_mse.WeightedMSE(
+            weighting_scheme_path=ref.hist_pickle,
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1)
+        pred, gt = _rand_pred_gt(0)
+        t = theirs(torch.tensor(pred), torch.tensor(gt)).item()
+        o = float(ours(jnp.asarray(pred), jnp.asarray(gt), {}, {}, None))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    @pytest.mark.parametrize("a,b,g,s", [(2.0, 1.0, 4.0, 1e-6), (0.5, 1.0, 1.0, 1.0)])
+    def test_tversky_and_focal(self, a, b, g, s):
+        from scenenet_tpu.losses import FocalTverskyLoss, TverskyLoss
+
+        pred, gt = _rand_pred_gt(1)
+        t1 = ref.tversky.TverskyLoss(tversky_alpha=a, tversky_beta=b,
+                                     tversky_smooth=s)(
+            torch.tensor(pred), torch.tensor(gt)).item()
+        o1 = float(TverskyLoss(tversky_alpha=a, tversky_beta=b, tversky_smooth=s)(
+            jnp.asarray(pred), jnp.asarray(gt)))
+        np.testing.assert_allclose(o1, t1, rtol=1e-4)
+        t2 = ref.tversky.FocalTverskyLoss(tversky_alpha=a, tversky_beta=b,
+                                          focal_gamma=g, tversky_smooth=s)(
+            torch.tensor(pred), torch.tensor(gt)).item()
+        o2 = float(FocalTverskyLoss(tversky_alpha=a, tversky_beta=b,
+                                    focal_gamma=g, tversky_smooth=s)(
+            jnp.asarray(pred), jnp.asarray(gt)))
+        np.testing.assert_allclose(o2, t2, rtol=1e-4, atol=1e-7)
+
+    def test_geneo_tversky_full(self):
+        """The default training criterion, penalties included, vs the real
+        reference class — an infeasible-init SceneNet exercises the cvx
+        hinge (negative λ) and positivity penalties."""
+        from scenenet_tpu.losses import resolve_criterion
+        from scenenet_tpu.models import SceneNet
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)  # λ<0 draw
+        cvx, geneo, cvx_t, geneo_t = _torch_param_dicts(net, params)
+        ours = resolve_criterion("geneo_tversky")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
+        theirs = ref.geneo_loss.GENEO_Tversky_Loss(
+            weighting_scheme_path=ref.hist_pickle,
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
+        pred, gt = _rand_pred_gt(2)
+        t = theirs(torch.tensor(pred), torch.tensor(gt), cvx_t, geneo_t).item()
+        o = float(ours(jnp.asarray(pred), jnp.asarray(gt), cvx, geneo,
+                       net.last_lambda))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    def test_geneo_dice(self):
+        from scenenet_tpu.losses import resolve_criterion
+        from scenenet_tpu.models import SceneNet
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+        cvx, geneo, cvx_t, geneo_t = _torch_param_dicts(net, params)
+        pred, gt = _rand_pred_gt(3)
+        ours = resolve_criterion("geneo_dice")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5)
+        theirs = ref.geneo_loss.GENEO_Dice_Loss(
+            weighting_scheme_path=ref.hist_pickle,
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5)
+        t = theirs(torch.tensor(pred), torch.tensor(gt), cvx_t, geneo_t).item()
+        o = float(ours(jnp.asarray(pred), jnp.asarray(gt), cvx, geneo,
+                       net.last_lambda))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    def test_geneo_dice_bce_reference_is_broken(self):
+        """The reference's GENEO_Dice_BCE can never be constructed: its
+        __init__ forwards 6 positionals into BinaryDiceLoss_BCE's 5
+        positional slots (convex_weight lands in weight_epsilon, mse_weight
+        in reduction) and then also passes reduction= — a guaranteed
+        TypeError (geneo_loss.py:114-118 vs dice_loss.py:61). Ours follows
+        the evident intent: mse_weight·dice_bce + cvx + positivity, with
+        the dice_bce term validated against the real BinaryDiceLoss_BCE."""
+        from scenenet_tpu.losses import resolve_criterion
+        from scenenet_tpu.models import SceneNet
+
+        with pytest.raises(TypeError):
+            ref.geneo_loss.GENEO_Dice_BCE(
+                weighting_scheme_path=ref.hist_pickle,
+                weight_alpha=1, weight_epsilon=0.1, mse_weight=1,
+                convex_weight=5)
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+        cvx, geneo, cvx_t, geneo_t = _torch_param_dicts(net, params)
+        pred, gt = _rand_pred_gt(3)
+        ours = resolve_criterion("geneo_dice_bce")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5)
+        # intended composition, built from the REAL reference pieces
+        dice_bce = ref.dice.BinaryDiceLoss_BCE(
+            weighting_scheme_path=ref.hist_pickle,
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1)
+        helper = ref.geneo_loss.GENEO_Loss(
+            weighting_scheme_path=ref.hist_pickle,
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5)
+        t = (1.0 * dice_bce(torch.tensor(pred), torch.tensor(gt))
+             + helper.cvx_loss(cvx_t)
+             + helper.positive_regularizer(geneo_t)).item()
+        o = float(ours(jnp.asarray(pred), jnp.asarray(gt), cvx, geneo,
+                       net.last_lambda))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    def test_focal_iou_dice(self):
+        from scenenet_tpu.losses import BinaryDiceLoss, FocalLoss, IoULoss
+
+        pred, gt = _rand_pred_gt(4)
+        t = ref.focal.FocalLoss()(torch.tensor(pred), torch.tensor(gt)).item()
+        o = float(FocalLoss()(jnp.asarray(pred), jnp.asarray(gt)))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+        t = ref.iou.IoULoss()(torch.tensor(pred), torch.tensor(gt)).item()
+        o = float(IoULoss()(jnp.asarray(pred), jnp.asarray(gt)))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+        t = ref.dice.BinaryDiceLoss()(torch.tensor(pred), torch.tensor(gt)).item()
+        o = float(BinaryDiceLoss()(jnp.asarray(pred), jnp.asarray(gt)))
+        np.testing.assert_allclose(o, t, rtol=1e-4)

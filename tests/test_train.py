@@ -261,3 +261,54 @@ class TestMixedPrecision:
             assert np.isfinite(best["train_loss"])
         # comparable optimization progress (identical data/seeds)
         np.testing.assert_allclose(finals["bf16"], finals["f32"], rtol=0.15)
+
+
+class TestFitCached:
+    def test_scan_epoch_training(self, tmp_path):
+        """fit_cached: one-dispatch-per-epoch lax.scan training from a
+        device-resident point cache."""
+        import jax
+
+        from scenenet_tpu.data.device_cache import DevicePointCache
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        class _DS:
+            def __init__(self, n):
+                rng = np.random.default_rng(0)
+                self.samples = [
+                    (rng.uniform(0, 20, (2048, 3)).astype(np.float32),
+                     rng.choice([1, 2, 15], 2048).astype(np.int32),
+                     np.ones(2048, bool))
+                    for _ in range(8)
+                ]
+
+            def __len__(self):
+                return len(self.samples)
+
+            def __getitem__(self, i):
+                return self.samples[i]
+
+        cache = DevicePointCache(_DS(8))
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("focal_tversky")(
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
+        cfg = TrainConfig(max_epochs=3, learning_rate=5e-2,
+                          early_stop_metric=None, log_gradients=False,
+                          checkpoint_dir=str(tmp_path / "c"),
+                          run_dir=str(tmp_path / "r"))
+        prep = make_device_voxelize_prep((16, 16, 16), (15,), use_indices=False)
+        trainer = Trainer(net, crit, cfg, batch_prep=prep)
+        final, best = trainer.fit_cached(params, cache, batch_size=4,
+                                         augment=True,
+                                         key=jax.random.PRNGKey(1))
+        assert np.isfinite(best["train_loss"])
+        assert "train_F1Score" in best
+        # params actually moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(params))
+        )
+        assert moved
+        # checkpoints written like fit()
+        import os
+        assert any(f.endswith(".npz") for f in os.listdir(tmp_path / "c"))
