@@ -145,10 +145,25 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
 
         acfg = ADMMConfig(**{**tcfg.__dict__, "admm_rho": cfg.admm_rho})
         trainer = ADMMTrainer(model, criterion, acfg, batch_prep=batch_prep)
+        final_params, best = trainer.fit(params, train_loader,
+                                         val_loader if len(val_ds) else None)
+    elif cfg.device_cache and cfg.device_voxelization:
+        # HBM-resident dataset + one-lax.scan-dispatch epochs
+        # (Trainer.fit_cached; see benchmarks/RESULTS.md "Device-resident
+        # epoch training")
+        import jax
+
+        from scenenet_tpu.data.device_cache import DevicePointCache
+
+        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
+        cache = DevicePointCache(train_ds)
+        final_params, best = trainer.fit_cached(
+            params, cache, batch_size=cfg.batch_size,
+            augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed))
     else:
         trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
-    final_params, best = trainer.fit(params, train_loader,
-                                     val_loader if len(val_ds) else None)
+        final_params, best = trainer.fit(params, train_loader,
+                                         val_loader if len(val_ds) else None)
 
     print(f"{'=' * 20} best scores {'=' * 20}")
     for k, v in sorted(best.items()):

@@ -42,6 +42,10 @@ class ExperimentConfig:
     keep_labels: Tuple[int, ...] = (15,)
     device_voxelization: bool = True   # TPU path; False = host-oracle path
     max_points: int = 65536
+    # HBM-resident dataset + one-scan-dispatch epochs (Trainer.fit_cached);
+    # requires device_voxelization and a dataset that fits device memory
+    device_cache: bool = False
+    augment: bool = True  # on-device z-rotation/xy-flip (device_cache path)
 
     # model
     model: str = "scenenet"

@@ -93,3 +93,28 @@ class TestTrainCLI:
         with open(os.path.join(out, "summary.json")) as f:
             summary = json.load(f)
         assert summary[0]["gt_voxels"] > 0
+
+
+class TestDeviceCacheCLI:
+    def test_device_cache_mode(self, tmp_path, small_cloud):
+        """device_cache: true routes through fit_cached (HBM-resident
+        dataset, one-scan-dispatch epochs) and still evaluates on the
+        host-path test loader."""
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "ds"
+        for split in ("fit", "test"):
+            (root / split).mkdir(parents=True)
+            for i in range(4):
+                np.save(root / split / f"s{i}.npy", small_cloud)
+        cfg = ExperimentConfig(
+            data_path=str(root), output_dir=str(tmp_path / "out"),
+            batch_size=2, voxel_grid_size=(12, 12, 12), max_epochs=2,
+            num_workers=1, early_stop_metric=None, val_split=0.0,
+            device_voxelization=True, device_cache=True, augment=True,
+            max_points=4096,
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+        assert np.isfinite(scores["test_loss"])
