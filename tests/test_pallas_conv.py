@@ -188,3 +188,20 @@ class TestHaloStencil:
         np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
                                    atol=1e-3, rtol=1e-4)
+
+
+class TestHBMStreamedLargeZ:
+    """HBM-streamed variant beyond 128³-equivalents: big/odd Z extents and
+    the round-2 write-back-DMA output path (interpret mode)."""
+
+    @pytest.mark.parametrize("z,xy", [(160, 96), (100, 112)])
+    def test_large_volume_matches_xla(self, z, xy):
+        rng = np.random.default_rng(z)
+        x = jnp.asarray(rng.random((1, 1, z, xy, xy)).astype(np.float32))
+        k = jnp.asarray(rng.random((9, 5, 5)).astype(np.float32))
+        # padded volume > 4MB → HBM-streamed kernel with output DMA
+        assert 4 * (z + 8) * (xy + 4) * (xy + 4) > 4 * 1024 * 1024
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)

@@ -81,3 +81,27 @@ class TestFusedPointsHist:
         x, y = voxelize_batch_binary(pts, labels, mask, (15,), grid)
         np.testing.assert_array_equal(np.asarray(x), np.asarray(hist > 0))
         np.testing.assert_array_equal(np.asarray(y), np.asarray(reg > 0))
+
+    def test_points_hist_single_channel(self):
+        import jax
+
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+        from scenenet_tpu.ops.voxelize import (
+            _flat_zxy_idx, _mxu_bin_counts, grid_bounds, voxel_indices,
+        )
+
+        rng = np.random.default_rng(9)
+        B, N, grid = 2, 3000, (16, 16, 16)
+        pts = jnp.asarray(rng.uniform(0, 25, (B, N, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.random((B, N)) > 0.2)
+
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid), grid)
+
+        flat = jax.vmap(per_sample_flat)(pts, mask)
+        c_ref = _mxu_bin_counts(flat, mask, 16**3)
+        c, none = pallas_points_bin_counts(pts, mask, None, grid,
+                                           interpret=True, channels=1)
+        assert none is None
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
