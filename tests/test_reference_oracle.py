@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from scenenet_tpu.compat.reference_oracle import load_reference
@@ -289,3 +290,41 @@ class TestCriterionGolden:
         t = ref.dice.BinaryDiceLoss()(torch.tensor(pred), torch.tensor(gt)).item()
         o = float(BinaryDiceLoss()(jnp.asarray(pred), jnp.asarray(gt)))
         np.testing.assert_allclose(o, t, rtol=1e-4)
+
+
+class TestQuantileGolden:
+    def test_quantile_ensemble_forward(self, sample_clouds):
+        """QuantileSceneNet vs the real SCENENetQuantile: per-member param
+        copy, stacked (B, Q, Z, X, Y) prediction. Reference members are v1
+        SCENE_Nets (SCENE_Net.py:386); neg-free bank avoids the non-cubic
+        neg_sphere scramble."""
+        from scenenet_tpu.models import QuantileSceneNet
+        from scenenet_tpu.ops.voxel_np import hist_on_voxel_np
+
+        ks = (9, 6, 6)
+        gn = {"cy": 1, "cone": 1}
+        model, stacked = QuantileSceneNet.create(gn, kernel_size=ks,
+                                                 quantiles=(0.1, 0.5, 0.9),
+                                                 version="v1", seed=11)
+        tq = ref.scene_net.SCENENetQuantile(
+            geneo_num=gn, kernel_size=ks, qs=torch.tensor([0.1, 0.5, 0.9]),
+            device=torch.device("cpu"))
+        for q, scnet in enumerate(tq.scnets):
+            member = jax.tree.map(lambda a: a[q], stacked)
+            scnet.last_lambda = model.net.last_lambda
+            sd = {}
+            for name, _ in model.net.observers:
+                for p, v in member["geneo"][name].items():
+                    sd[f"geneos.{name}.geneo_params.{p}"] = torch.tensor(float(v))
+            lams = model.net.effective_lambdas(member)
+            for ln, v in zip(model.net.lambda_names, np.asarray(lams)):
+                sd[f"lambdas_dict.{ln}"] = torch.tensor(float(v))
+            scnet.load_state_dict(sd)
+
+        cloud = sample_clouds[0]
+        hist = hist_on_voxel_np(cloud[:, :3], (24, 24, 24))
+        x = (hist > 0).astype(np.float32)[None, None]
+        theirs = tq(torch.tensor(x, dtype=torch.double)).detach().numpy()
+        mine = np.asarray(model.apply(stacked, jnp.asarray(x)))
+        assert mine.shape == theirs.shape == (1, 3, 24, 24, 24)
+        np.testing.assert_allclose(mine, theirs, atol=5e-5, rtol=1e-4)
