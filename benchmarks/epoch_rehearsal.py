@@ -89,6 +89,23 @@ def main():
         dt = time.perf_counter() - t0
         print(f"[loader-only] {n_samples} samples in {dt:.1f}s = "
               f"{n_samples / dt:.0f} samples/s (host, {args.workers} threads)")
+
+        from scenenet_tpu import native
+
+        if native.available():
+            from scenenet_tpu.data.loader import NativePointCloudLoader
+
+            nloader = NativePointCloudLoader(
+                ds, batch_size=args.batch, shuffle=True,
+                max_points=args.max_points, threads=args.workers,
+                drop_last=True)
+            t0 = time.perf_counter()
+            n_samples = 0
+            for batch in nloader:
+                n_samples += batch[0].shape[0]
+            dt = time.perf_counter() - t0
+            print(f"[native loader] {n_samples} samples in {dt:.1f}s = "
+                  f"{n_samples / dt:.0f} samples/s (C++ threads)")
         if args.loader_only:
             return
 

@@ -114,9 +114,24 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     train_ds, val_ds, test_ds = build_datasets(cfg)
     # drop the ragged final batch: on TPU every distinct batch shape is a
     # separate XLA compile (the first-epoch compile storm otherwise)
-    train_loader = VoxelLoader(train_ds, cfg.batch_size, shuffle=True,
-                               num_workers=cfg.num_workers, seed=cfg.seed,
-                               drop_last=len(train_ds) >= cfg.batch_size)
+    from scenenet_tpu import native as _native
+
+    native_loader = cfg.device_voxelization and _native.available()
+    if native_loader:
+        # C++ batch prep (npy read + center + pad in real threads): 2.2x
+        # the Python path per core, scales past the GIL. It does NOT
+        # compute host-exact bin indices, so the prep below must bin on
+        # device (use_indices=False).
+        from scenenet_tpu.data.loader import NativePointCloudLoader
+
+        train_loader = NativePointCloudLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            max_points=cfg.max_points, threads=cfg.num_workers,
+            drop_last=len(train_ds) >= cfg.batch_size)
+    else:
+        train_loader = VoxelLoader(train_ds, cfg.batch_size, shuffle=True,
+                                   num_workers=cfg.num_workers, seed=cfg.seed,
+                                   drop_last=len(train_ds) >= cfg.batch_size)
     val_loader = VoxelLoader(val_ds, cfg.batch_size, num_workers=cfg.num_workers)
     test_loader = VoxelLoader(test_ds, cfg.batch_size, num_workers=cfg.num_workers)
 
@@ -139,7 +154,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         from scenenet_tpu.train import make_device_voxelize_prep
 
         batch_prep = make_device_voxelize_prep(cfg.voxel_grid_size,
-                                               tuple(cfg.keep_labels))
+                                               tuple(cfg.keep_labels),
+                                               use_indices=not native_loader)
     if getattr(cfg, "constrained", "penalty") == "admm":
         from scenenet_tpu.train.admm import ADMMConfig, ADMMTrainer
 

@@ -45,6 +45,7 @@ def load_native(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     lib.snt_voxelize.restype = ctypes.c_int
     lib.snt_dbscan.restype = ctypes.c_int
     lib.snt_read_las.restype = ctypes.c_int64
+    lib.snt_load_batch.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -156,3 +157,32 @@ def read_las_native(path: str) -> Tuple[np.ndarray, np.ndarray]:
     if ret != n:
         raise ValueError(f"snt_read_las short read ({ret}/{n}) for {path}")
     return xyz, classes
+
+
+def load_batch_native(
+    paths: Sequence[str],
+    max_points: int,
+    threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parallel native batch prep: .npy crop files → (points (B,M,3) f32
+    min-centered, labels (B,M) i32, mask (B,M) bool), padded to
+    ``max_points``. Runs in C++ threads (the GIL is released for the whole
+    call) — the host-pipeline hot path that bounds TS40K-scale epochs
+    (benchmarks/RESULTS.md). ``threads=0`` → one per file (≤ cpu count)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    b = len(paths)
+    pts = np.empty((b, max_points, 3), np.float32)
+    labels = np.empty((b, max_points), np.int32)
+    mask = np.empty((b, max_points), np.uint8)
+    blob = b"".join(p.encode() + b"\0" for p in paths)
+    if threads <= 0:
+        threads = min(b, os.cpu_count() or 1)
+    rc = lib.snt_load_batch(
+        ctypes.c_char_p(blob), ctypes.c_int(b), ctypes.c_int64(max_points),
+        ctypes.c_int(threads), _ptr(pts, ctypes.c_float),
+        _ptr(labels, ctypes.c_int32), _ptr(mask, ctypes.c_uint8))
+    if rc != 0:
+        raise ValueError(f"snt_load_batch failed on {paths[rc - 1]!r}")
+    return pts, labels, mask.astype(bool)

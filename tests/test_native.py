@@ -93,3 +93,69 @@ class TestTransformsUseNative:
         b = PointPadding(max_points=4096, vxg_size=(16, 16, 16), use_native=False)(sample)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+class TestNativeBatchLoader:
+    def _crops(self, tmp_path, n=5, sizes=(3000, 4000, 5000, 70000, 2000)):
+        rng = np.random.default_rng(0)
+        root = tmp_path / "fit"
+        root.mkdir(parents=True, exist_ok=True)
+        paths = []
+        for i, m in enumerate(sizes[:n]):
+            xyz = rng.uniform([5e5, 4.6e6, 100], [5e5 + 30, 4.6e6 + 30, 160], (m, 3))
+            lab = rng.choice([1, 2, 15], m)
+            crop = np.concatenate([xyz, lab[:, None]], 1)
+            # mix dtypes: f64 (reference fixtures) and f32 (rehearsal crops)
+            crop = crop.astype(np.float64 if i % 2 == 0 else np.float32)
+            p = root / f"sample_{i}.npy"
+            np.save(p, crop)
+            paths.append(str(p))
+        return paths
+
+    def test_matches_point_padding(self, tmp_path):
+        from scenenet_tpu.data.transforms import PointPadding
+        from scenenet_tpu.native import load_batch_native
+
+        paths = self._crops(tmp_path, n=3, sizes=(3000, 4000, 5000))
+        pts, labels, mask = load_batch_native(paths, 8192)
+        pp = PointPadding(max_points=8192, compute_indices=False)
+        for i, p in enumerate(paths):
+            c = np.load(p)
+            p0, l0, m0, _ = pp((c[:, :3], c[:, 3]))
+            np.testing.assert_allclose(pts[i], p0, atol=1e-5)
+            np.testing.assert_array_equal(labels[i], l0)
+            np.testing.assert_array_equal(mask[i], m0)
+
+    def test_subsample_contract(self, tmp_path):
+        from scenenet_tpu.native import load_batch_native
+
+        paths = self._crops(tmp_path, n=4)
+        pts, labels, mask = load_batch_native(paths, 8192)
+        big = 3  # 70k points > 8192
+        assert mask[big].all()
+        # centered: per-axis minimum ~0 (subsample keeps near-min points whp)
+        assert pts[big].min() >= 0
+        # labels still from the source label set
+        assert set(np.unique(labels[big])) <= {1, 2, 15}
+
+    def test_loader_epoch(self, tmp_path):
+        from scenenet_tpu.data.loader import NativePointCloudLoader, Subset
+        from scenenet_tpu.data.ts40k import TS40K
+
+        self._crops(tmp_path, n=5)
+        ds = TS40K(str(tmp_path), split="fit")
+        loader = NativePointCloudLoader(Subset(ds, [0, 1, 2, 3]),
+                                        batch_size=2, max_points=8192,
+                                        shuffle=True, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        for pts, labels, mask, flat in batches:
+            assert pts.shape == (2, 8192, 3) and mask.dtype == bool
+            assert flat.shape == (2, 8192)
+
+    def test_failure_raises(self, tmp_path):
+        from scenenet_tpu.native import load_batch_native
+
+        with pytest.raises(ValueError):
+            load_batch_native([str(tmp_path / "missing.npy")], 64)
