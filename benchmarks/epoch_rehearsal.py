@@ -110,7 +110,6 @@ def main():
             return
 
     import jax
-    import jax.numpy as jnp
 
     from scenenet_tpu.losses import resolve_criterion
     from scenenet_tpu.models import SceneNet

@@ -13,7 +13,7 @@ threaded functionally through the ``batch_stats`` collection.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Tuple
+from typing import Mapping
 
 import flax.linen as nn
 import jax

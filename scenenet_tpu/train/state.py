@@ -10,7 +10,7 @@ the functional twin of per-parameter ``requires_grad=False``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Mapping, Optional
+from typing import Any, Optional
 
 import jax
 import optax
