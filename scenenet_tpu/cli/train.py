@@ -175,7 +175,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         cache = DevicePointCache(train_ds)
         final_params, best = trainer.fit_cached(
             params, cache, batch_size=cfg.batch_size,
-            augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed))
+            augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed),
+            val_loader=val_loader if len(val_ds) else None)
     else:
         trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
         final_params, best = trainer.fit(params, train_loader,

@@ -331,6 +331,7 @@ class Trainer:
         batch_size: int = 16,
         augment: bool = True,
         key: Optional[jax.Array] = None,
+        val_loader: Optional[Iterable] = None,
     ) -> Tuple[Any, Dict[str, float]]:
         """Train from a :class:`scenenet_tpu.data.device_cache.DevicePointCache`
         with ONE device dispatch per epoch.
@@ -428,6 +429,18 @@ class Trainer:
                       compute_metrics(mstate, cfg.fbeta).items()}
             scores["train_loss"] = float(mean_loss)
             scores["epoch_time_s"] = time.time() - t0
+            if val_loader is not None:
+                _, eval_step = self._build_steps(tx)
+                vstate = init_metric_state()
+                vlosses = []
+                for batch in val_loader:
+                    batch = tuple(jnp.asarray(b) for b in batch)
+                    vstate, vloss, _ = eval_step(state.params, None, vstate, *batch)
+                    vlosses.append(vloss)
+                scores.update({f"val_{k}": float(v) for k, v in
+                               compute_metrics(vstate, cfg.fbeta).items()})
+                if vlosses:
+                    scores["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
             if hasattr(self.model, "parameters_in_dict"):
                 self.logger.log_params(
                     self.model.parameters_in_dict(state.params), epoch)
