@@ -204,8 +204,9 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train SCENE-Net (TPU)")
     parser.add_argument("--config", type=str, default=None)
-    parser.add_argument("--set", nargs="*", default=[],
-                        help="config overrides key=value")
+    parser.add_argument("--set", action="extend", nargs="*", default=[],
+                        help="config overrides key=value (repeatable: "
+                             "--set a=1 b=2 or --set a=1 --set b=2)")
     parser.add_argument("--sweep", type=str, default=None,
                         help="wandb-style sweep spec (random search)")
     parser.add_argument("--sweep-runs", type=int, default=4)

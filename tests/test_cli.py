@@ -118,3 +118,17 @@ class TestDeviceCacheCLI:
         scores = run(cfg)
         assert np.isfinite(scores["train_loss"])
         assert np.isfinite(scores["test_loss"])
+
+
+class TestSetOverrides:
+    def test_repeated_set_flags_all_apply(self):
+        """Regression: nargs='*' alone drops earlier --set occurrences —
+        both styles must work."""
+        import argparse
+
+        from scenenet_tpu.cli import train as cli
+
+        parser = argparse.ArgumentParser()
+        parser.add_argument("--set", action="extend", nargs="*", default=[])
+        ns = parser.parse_args(["--set", "a=1", "--set", "b=2", "--set", "c=3", "d=4"])
+        assert ns.set == ["a=1", "b=2", "c=3", "d=4"]
