@@ -362,6 +362,9 @@ class Trainer:
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)
         n = len(cache)
         n_batches = n // batch_size
+        if n_batches == 0:
+            raise ValueError(
+                f"fit_cached: cache holds {n} samples < batch_size {batch_size}")
         key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
 
         @jax.jit
