@@ -117,20 +117,25 @@ class DevicePointCache:
         if (shuffle or augment) and key is None:
             raise ValueError("epoch(shuffle/augment) needs a jax PRNG key")
         if shuffle:
+            # shuffle the resident arrays ONCE per epoch — per-batch row
+            # gathers from a 2k×65k array cost ~4.4 ms each on TPU, a bulk
+            # permute + contiguous slices is 9× cheaper (see fit_cached)
             key, sub = jax.random.split(key)
             order = jax.random.permutation(sub, n)
+            src_p = jnp.take(self.points, order, axis=0)
+            src_l = jnp.take(self.labels, order, axis=0)
+            src_m = jnp.take(self.mask, order, axis=0)
         else:
-            order = jnp.arange(n)
+            src_p, src_l, src_m = self.points, self.labels, self.mask
         n_batches = n // batch_size if drop_last else -(-n // batch_size)
 
-        # one jitted dispatch per batch: gather + (optional) augmentation
+        # one jitted dispatch per batch: slice + (optional) augmentation
         # compile once per (batch_size, augment) and stay device-side
         @jax.jit
-        def build(points, labels, mask, order, start, key):
-            idx = jax.lax.dynamic_slice_in_dim(order, start, batch_size)
-            pts = jnp.take(points, idx, axis=0)
-            lab = jnp.take(labels, idx, axis=0)
-            m = jnp.take(mask, idx, axis=0)
+        def build(points, labels, mask, start, key):
+            pts = jax.lax.dynamic_slice_in_dim(points, start, batch_size)
+            lab = jax.lax.dynamic_slice_in_dim(labels, start, batch_size)
+            m = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
             if augment:
                 ka, kf = jax.random.split(key)
                 angles = jax.random.uniform(ka, (batch_size,),
@@ -148,12 +153,8 @@ class DevicePointCache:
             key = jax.random.PRNGKey(0)
         for b in range(n_batches):
             start = b * batch_size
-            if start + batch_size > n:  # last partial batch (host slice)
-                idx = order[start:]
-                yield (jnp.take(self.points, idx, axis=0),
-                       jnp.take(self.labels, idx, axis=0),
-                       jnp.take(self.mask, idx, axis=0))
+            if start + batch_size > n:  # last partial batch (plain slice)
+                yield src_p[start:], src_l[start:], src_m[start:]
                 continue
             key, sub = jax.random.split(key)
-            yield build(self.points, self.labels, self.mask, order,
-                        jnp.asarray(start), sub)
+            yield build(src_p, src_l, src_m, jnp.asarray(start), sub)

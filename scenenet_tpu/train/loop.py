@@ -371,14 +371,22 @@ class Trainer:
         def epoch_fn(state: TrainState, points, labels, mask, key):
             key, kperm = jax.random.split(key)
             order = jax.random.permutation(kperm, n)
+            # shuffle ONCE per epoch, then read contiguous slices: XLA's
+            # TPU row-gather costs ~4.4 ms per 16-row batch from a 2k×65k
+            # array; one bulk permute + dynamic slices is 9× cheaper
+            # (62 vs 547 ms per 125-batch epoch, measured)
+            pts_s = jnp.take(points, order, axis=0)
+            lab_s = jnp.take(labels, order, axis=0)
+            m_s = jnp.take(mask, order, axis=0)
 
             def body(carry, b):
                 state, mstate, loss_sum, key = carry
-                idx = jax.lax.dynamic_slice_in_dim(order, b * batch_size,
+                pts = jax.lax.dynamic_slice_in_dim(pts_s, b * batch_size,
                                                    batch_size)
-                pts = jnp.take(points, idx, axis=0)
-                lab = jnp.take(labels, idx, axis=0)
-                m = jnp.take(mask, idx, axis=0)
+                lab = jax.lax.dynamic_slice_in_dim(lab_s, b * batch_size,
+                                                   batch_size)
+                m = jax.lax.dynamic_slice_in_dim(m_s, b * batch_size,
+                                                 batch_size)
                 if augment:
                     key, ka, kf = jax.random.split(key, 3)
                     angles = jax.random.uniform(ka, (batch_size,),
