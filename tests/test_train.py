@@ -312,3 +312,41 @@ class TestFitCached:
         # checkpoints written like fit()
         import os
         assert any(f.endswith(".npz") for f in os.listdir(tmp_path / "c"))
+
+    def test_fit_cached_with_validation(self, tmp_path):
+        import jax
+
+        from scenenet_tpu.data.device_cache import DevicePointCache
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        rng = np.random.default_rng(1)
+        samples = [
+            (rng.uniform(0, 20, (2048, 3)).astype(np.float32),
+             rng.choice([1, 2, 15], 2048).astype(np.int32),
+             np.ones(2048, bool))
+            for _ in range(4)
+        ]
+
+        class _DS:
+            def __len__(self):
+                return len(samples)
+
+            def __getitem__(self, i):
+                return samples[i]
+
+        cache = DevicePointCache(_DS())
+        val_batches = [tuple(np.stack(x) for x in zip(*samples[:2]))]
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("focal_tversky")(
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
+        cfg = TrainConfig(max_epochs=2, learning_rate=1e-2,
+                          early_stop_metric=None, log_gradients=False,
+                          checkpoint_dir=str(tmp_path / "c"),
+                          run_dir=str(tmp_path / "r"))
+        prep = make_device_voxelize_prep((16, 16, 16), (15,), use_indices=False)
+        trainer = Trainer(net, crit, cfg, batch_prep=prep)
+        _, best = trainer.fit_cached(params, cache, batch_size=2, augment=False,
+                                     key=jax.random.PRNGKey(0),
+                                     val_loader=val_batches)
+        assert np.isfinite(best["val_loss"])
+        assert "val_F1Score" in best
