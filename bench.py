@@ -22,8 +22,8 @@ import time
 import numpy as np
 
 GRID = (64, 64, 64)
-BATCH = 64
-ITERS = 12
+BATCH = 128
+ITERS = 8
 MAX_POINTS = 81920
 FIXTURES = "/root/reference/data-sample"
 
