@@ -69,16 +69,23 @@ def _stencil_kernel(x_ref, k_ref, o_ref, shift_ref, *,
         o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
 
 
-def _pick_slab(z_out: int) -> Tuple[int, int]:
+def _pick_slab(z_out: int, max_bz: int = 16) -> Tuple[int, int]:
     """Choose the z-slab size and trailing zero-pad for a Z extent.
 
-    Prefers an exact divisor in [8, 16] (no wasted planes); otherwise pads
-    Z up to a multiple of 16 (computed-then-sliced planes read only the
-    zero padding, so results are exact for any Z)."""
-    bz = min(16, z_out)
+    Prefers an exact divisor in [8, max_bz] (no wasted planes); otherwise
+    pads Z up to a multiple of max_bz (computed-then-sliced planes read
+    only the zero padding, so results are exact for any Z).
+
+    Slab-size lesson (measured): bz 16→64 is 16% faster for the conv in
+    ISOLATION (amortized shift-scratch halo re-staging) but SLOWER inside
+    full programs — with one grid step per sample the pipeline loses the
+    input-block prefetch overlap with the producer (train step 10.9→11.7
+    ms, headline 3059→2841 grids/s; HBM variant likewise 13.6→13.9 ms at
+    128³, its slab DMA being synchronous). bz=16 stays the default."""
+    bz = min(max_bz, z_out)
     if z_out % bz == 0:
         return bz, 0
-    for cand in range(min(16, z_out), 7, -1):
+    for cand in range(min(max_bz, z_out), 7, -1):
         if z_out % cand == 0:
             return cand, 0
     return bz, (-z_out) % bz
@@ -121,15 +128,17 @@ def geneo_stencil_conv(
     ]
     xp = jnp.pad(x, pads)[:, 0]  # (B, Z_out+kz-1, X+kx-1, Y+ky-1)
 
-    # z-slab blocking bounds VMEM working set; overlapping input windows
-    # (slab + kz-1 halo planes) are re-fetched by the pipeline
+    # z-slab blocking bounds VMEM working set; bz=16 keeps several grid
+    # steps per sample so the pipeline overlaps input staging with compute
+    # (see the slab-size lesson in _pick_slab)
+    resident = 4 * (z_out + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1) \
+        <= 4 * 1024 * 1024
     bz, zpad = _pick_slab(z_out)
     if zpad:
         xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
     z = z_out + zpad
 
-    vol_bytes = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1)
-    if vol_bytes <= 4 * 1024 * 1024:
+    if resident:
         # small grids (≤ ~96³): whole padded volume resident in VMEM
         kernel_fn = functools.partial(
             _stencil_kernel, kernel_size=(k_z, k_x, k_y), activation=activation
