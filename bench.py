@@ -118,7 +118,9 @@ def _tpu_throughput(clouds) -> float:
         # fused Pallas points→occupancy kernel (bounds + binning + int8
         # MXU histogram in VMEM; exactly (voxelize_batch_hist > 0))
         grids = voxelize_batch_occupancy(pts, mask, GRID)[:, None]
-        pred = net.apply(params, grids)
+        # inference=True: bf16-tap-scratch stencil — bit-exact for the
+        # {0,1} occupancy grids this pipeline feeds it
+        pred = net.apply(params, grids, inference=True)
         return prob_to_label(pred, 0.65)
 
     # Honest timing through the remote-execution tunnel (where

@@ -97,7 +97,7 @@ def main():
         hist, reg = voxelize_batch(pts, labels, mask, (POLE_LABEL,), grid)
         x = (hist > 0).astype(jnp.float32)[:, None]
         y = (reg > 0).astype(jnp.float32)[:, None]
-        pred = net.apply(params, x)
+        pred = net.apply(params, x, inference=True)
         return update_metrics(mstate, pred, y, 0.65)
 
     loader = PointCloudLoader(ds, batch_size=args.batch, num_workers=4,

@@ -44,7 +44,7 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
     def pipeline(params, pts, mask):
         hist = voxelize_batch_hist(pts, mask, grid)
         x = (hist > 0).astype(jnp.float32)[:, None]
-        pred = net.apply(params, x)[:, 0]
+        pred = net.apply(params, x, inference=True)[:, 0]
 
         def per_sample_flat(p, m):
             lo, hi = grid_bounds(p, m)

@@ -53,7 +53,9 @@ class _Pipeline:
         def run(params, pts, mask):
             hist = voxelize_batch_hist(pts[None], mask[None], grid)
             x = (hist > 0).astype(jnp.float32)[:, None]
-            pred = self.net.apply(params, x)[0, 0]
+            # binarized occupancy input → the bf16-scratch inference
+            # forward is bit-exact here
+            pred = self.net.apply(params, x, inference=True)[0, 0]
             lo, hi = grid_bounds(pts, mask)
             flat = _flat_zxy_idx(voxel_indices(pts, lo, hi, grid), grid)
             probs = gather_point_values(pred, flat, mask)

@@ -205,3 +205,60 @@ class TestHBMStreamedLargeZ:
         out = geneo_stencil_conv(x, k, activation=False, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestBf16Scratch:
+    """bf16 tap-scratch inference forward: bit-exact on {0,1} occupancy,
+    bounded error on general floats, and the model-level inference flag."""
+
+    def test_bitexact_on_occupancy(self):
+        rng = np.random.default_rng(21)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.6)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((9, 5, 5)).astype(np.float32))
+        f32 = geneo_stencil_conv(x, k, activation=True, interpret=True)
+        bf16 = geneo_stencil_conv(x, k, activation=True, interpret=True,
+                                  scratch_dtype="bf16")
+        np.testing.assert_array_equal(np.asarray(f32), np.asarray(bf16))
+
+    def test_bounded_error_on_floats(self):
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.random((1, 1, 16, 16, 16)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3)).astype(np.float32))
+        f32 = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        bf16 = geneo_stencil_conv(x, k, activation=False, interpret=True,
+                                  scratch_dtype="bf16")
+        np.testing.assert_allclose(np.asarray(bf16), np.asarray(f32),
+                                   atol=5e-2, rtol=2e-2)
+
+    def test_hbm_path_bitexact_on_occupancy(self):
+        rng = np.random.default_rng(23)
+        # force the HBM-streamed variant (volume > the 4 MB VMEM-resident cap)
+        x = jnp.asarray((rng.random((1, 1, 32, 144, 256)) > 0.7)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3)).astype(np.float32))
+        f32 = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        bf16 = geneo_stencil_conv(x, k, activation=False, interpret=True,
+                                  scratch_dtype="bf16")
+        np.testing.assert_array_equal(np.asarray(f32), np.asarray(bf16))
+
+    def test_model_inference_flag(self, monkeypatch):
+        import scenenet_tpu.ops.pallas_conv as pc
+
+        rng = np.random.default_rng(24)
+        net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
+                                      kernel_size=(9, 5, 5), seed=3,
+                                      backend="pallas")
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.5)
+                        .astype(np.float32))
+        orig = pc.geneo_stencil_conv
+        monkeypatch.setattr(
+            pc, "geneo_stencil_conv",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+        monkeypatch.setattr(
+            pc, "fused_geneo_conv",
+            lambda x, k, interpret=False: orig(x, k, activation=True,
+                                               interpret=True))
+        ref = net.apply(params, x)
+        out = net.apply(params, x, inference=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

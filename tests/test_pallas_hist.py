@@ -105,3 +105,52 @@ class TestFusedPointsHist:
                                            interpret=True, channels=1)
         assert none is None
         np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+
+    def test_trailing_padding_chunks_skipped_exactly(self):
+        """Heavy trailing padding (several all-invalid chunks) plus one
+        all-invalid interior chunk: the dynamic live-chunk loop bound must
+        leave counts exact (trailing chunks skipped, interior ones kept)."""
+        import jax
+
+        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+        from scenenet_tpu.ops.voxelize import (
+            _flat_zxy_idx, _mxu_bin_counts2, grid_bounds, voxel_indices,
+        )
+
+        rng = np.random.default_rng(11)
+        B, N, grid, chunk = 2, 8192, (16, 16, 16), 1024
+        pts = jnp.asarray(rng.uniform(0, 30, (B, N, 3)).astype(np.float32))
+        mask_np = np.zeros((B, N), bool)
+        mask_np[0, :2500] = True          # 3 live chunks of 8
+        mask_np[0, 1024:2048] = False     # all-invalid interior chunk
+        mask_np[1, :5000] = True          # 5 live chunks of 8
+        mask = jnp.asarray(mask_np)
+        tower = jnp.asarray(np.logical_and(rng.random((B, N)) > 0.6, mask_np))
+
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid), grid)
+
+        flat = jax.vmap(per_sample_flat)(pts, mask)
+        c_ref, t_ref = _mxu_bin_counts2(flat, mask, tower, 16**3)
+        c, t = pallas_points_bin_counts(pts, mask, tower, grid,
+                                        interpret=True, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(t_ref))
+
+    def test_flat_ids_trailing_padding_skipped(self):
+        from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
+
+        rng = np.random.default_rng(12)
+        b, n, v = 2, 8192, 16**3
+        flat = rng.integers(0, v, (b, n)).astype(np.int32)
+        mask_np = np.zeros((b, n), bool)
+        mask_np[0, :1500] = True
+        mask_np[1, :6000] = True
+        counts, none = pallas_bin_counts(jnp.asarray(flat),
+                                         jnp.asarray(mask_np), v, None,
+                                         interpret=True, chunk=1024)
+        ref = np.zeros((b, v))
+        for i in range(b):
+            np.add.at(ref[i], flat[i][mask_np[i]], 1.0)
+        np.testing.assert_array_equal(np.asarray(counts), ref)
