@@ -63,9 +63,14 @@ def main():
     ap.add_argument("--scan-epoch", action="store_true",
                     help="device cache + the whole epoch as ONE lax.scan "
                          "dispatch (Trainer.fit_cached)")
+    ap.add_argument("--grid-cache", action="store_true",
+                    help="voxelized grids resident in HBM: voxelization "
+                         "paid once, scan epochs of pure conv/loss work "
+                         "with grid-space D4 augmentation "
+                         "(Trainer.fit_grid_cached)")
     ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
-    if args.scan_epoch:
+    if args.scan_epoch or args.grid_cache:
         args.device_cache = True
 
     generate(args.root, args.n, args.points)
@@ -138,19 +143,35 @@ def main():
         print(f"[cache] {len(cache)} samples resident in HBM "
               f"({time.perf_counter() - t0:.1f}s one-time load)")
 
-        if args.scan_epoch:
+        if args.scan_epoch or args.grid_cache:
             import json
 
-            run_dir = os.path.join(args.root, "run_scan")
+            tag2 = "grids" if args.grid_cache else "scan"
+            run_dir = os.path.join(args.root, f"run_{tag2}")
             cfg2 = TrainConfig(max_epochs=args.epochs, optimizer="adam",
                                learning_rate=1e-3, early_stop_metric=None,
                                log_gradients=False,
-                               checkpoint_dir=os.path.join(args.root, "ckpt_scan"),
+                               checkpoint_dir=os.path.join(args.root,
+                                                           f"ckpt_{tag2}"),
                                run_dir=run_dir)
             trainer2 = Trainer(net, crit, cfg2, batch_prep=prep)
-            _, best = trainer2.fit_cached(params, cache, batch_size=args.batch,
-                                          augment=True,
-                                          key=jax.random.PRNGKey(0))
+            if args.grid_cache:
+                from scenenet_tpu.data.device_cache import DeviceGridCache
+
+                t0 = time.perf_counter()
+                gcache = DeviceGridCache(cache, prep)
+                jax.block_until_ready(gcache.x)
+                print(f"[grid cache] {len(gcache)} (x, y) grid pairs "
+                      f"resident ({time.perf_counter() - t0:.1f}s one-time "
+                      f"voxelization)")
+                del cache
+                _, best = trainer2.fit_grid_cached(
+                    params, gcache, batch_size=args.batch, augment=True,
+                    key=jax.random.PRNGKey(0))
+            else:
+                _, best = trainer2.fit_cached(
+                    params, cache, batch_size=args.batch, augment=True,
+                    key=jax.random.PRNGKey(0))
             with open(os.path.join(run_dir, "metrics.jsonl")) as f:
                 for line in f:
                     row = json.loads(line)

@@ -164,19 +164,30 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         final_params, best = trainer.fit(params, train_loader,
                                          val_loader if len(val_ds) else None)
     elif cfg.device_cache and cfg.device_voxelization:
-        # HBM-resident dataset + one-lax.scan-dispatch epochs
-        # (Trainer.fit_cached; see benchmarks/RESULTS.md "Device-resident
-        # epoch training")
+        # HBM-resident dataset + one-lax.scan-dispatch epochs (see
+        # benchmarks/RESULTS.md "Device-resident epoch training"):
+        # "points" revoxelizes per batch (arbitrary-angle rotation aug),
+        # "grids" pays voxelization once (grid-space D4 aug)
         import jax
 
-        from scenenet_tpu.data.device_cache import DevicePointCache
+        from scenenet_tpu.data.device_cache import (
+            DeviceGridCache, DevicePointCache,
+        )
 
         trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
         cache = DevicePointCache(train_ds)
-        final_params, best = trainer.fit_cached(
-            params, cache, batch_size=cfg.batch_size,
-            augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed),
-            val_loader=val_loader if len(val_ds) else None)
+        if cfg.device_cache == "grids":
+            gcache = DeviceGridCache(cache, batch_prep)
+            del cache  # free the resident points
+            final_params, best = trainer.fit_grid_cached(
+                params, gcache, batch_size=cfg.batch_size,
+                augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed),
+                val_loader=val_loader if len(val_ds) else None)
+        else:
+            final_params, best = trainer.fit_cached(
+                params, cache, batch_size=cfg.batch_size,
+                augment=cfg.augment, key=jax.random.PRNGKey(cfg.seed),
+                val_loader=val_loader if len(val_ds) else None)
     else:
         trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
         final_params, best = trainer.fit(params, train_loader,

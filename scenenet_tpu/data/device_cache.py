@@ -40,6 +40,93 @@ def rotate_z_batch(points: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
         [jnp.stack([x, y], axis=-1) + center, points[..., 2:]], axis=-1)
 
 
+def permute_rows(a: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
+    """Row permutation that dodges the TPU's slow sub-32-bit gather.
+
+    XLA lowers a uint8 row gather ~60× slower than the same gather at
+    32-bit width (measured on a v5e: 3.7 s vs 62 ms to permute two
+    2000×256 KB arrays — the uint8 path gathers element-wise). When the
+    per-row byte count is 4-aligned, bitcast groups of narrow lanes into
+    int32, gather at 32-bit width, and bitcast back: bit-exact for any
+    payload, since the gather only moves bytes."""
+    if a.dtype.itemsize >= 4:
+        return jnp.take(a, order, axis=0)
+    shape = a.shape
+    n = shape[0]
+    per32 = 4 // a.dtype.itemsize
+    row = 1
+    for s in shape[1:]:
+        row *= s
+    if row % per32:
+        return jnp.take(a, order, axis=0)
+    packed = jax.lax.bitcast_convert_type(
+        a.reshape(n, row // per32, per32), jnp.int32)
+    out = jnp.take(packed, order, axis=0)
+    return jax.lax.bitcast_convert_type(out, a.dtype).reshape(shape)
+
+
+def d4_transform_grids(grid: jnp.ndarray, transpose: jnp.ndarray,
+                       flip_x: jnp.ndarray, flip_y: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-sample D4 (square-symmetry) element to the (X, Y) axes.
+
+    grid (B, C, Z, X, Y) with X == Y; transpose/flip_x/flip_y (B,) bools.
+    The 8 (transpose, flip_x, flip_y) combinations enumerate the full D4
+    group — every axis-aligned rotation/mirror of the xy plane. These are
+    exactly the label-preserving symmetries that can act on *voxelized*
+    grids directly (arbitrary-angle z-rotation needs the raw points;
+    see :meth:`DevicePointCache.epoch`). Towers are z-aligned, so all 8
+    are label-preserving, as in the point-space augmentation."""
+    assert grid.shape[-1] == grid.shape[-2], "D4 needs a square xy plane"
+    t = transpose[:, None, None, None, None]
+    fx = flip_x[:, None, None, None, None]
+    fy = flip_y[:, None, None, None, None]
+    g = jnp.where(t, jnp.swapaxes(grid, -1, -2), grid)
+    g = jnp.where(fx, jnp.flip(g, axis=-2), g)
+    return jnp.where(fy, jnp.flip(g, axis=-1), g)
+
+
+class DeviceGridCache:
+    """Voxelized twin of :class:`DevicePointCache`: the (x, y) *training
+    grids* for the whole dataset resident in HBM.
+
+    Voxelization is ~half of the 10.9 ms cached train step (the fused
+    Pallas histogram is fast, but it reruns on every visit of every
+    sample). When the training transform is deterministic per sample —
+    the standard binarized pipeline, no point-space augmentation — the
+    grids can be paid for ONCE and every epoch becomes pure
+    conv/loss/optimizer work. Grid-space D4 augmentation
+    (:func:`d4_transform_grids`) still applies per batch.
+
+    Grids from the binarized pipeline are stored as uint8 {0,1} — 8× less
+    HBM than the two f32 grids (2k crops × 2 × 64³ ≈ 1.0 GB) — and cast
+    to f32 per batch inside the step. ``store_dtype=jnp.float32`` keeps
+    exact storage for non-binarized (density/fraction) pipelines.
+    """
+
+    def __init__(self, cache: "DevicePointCache", batch_prep,
+                 load_batch: int = 64, store_dtype=jnp.uint8):
+        n = len(cache)
+        prep = jax.jit(batch_prep)
+
+        @jax.jit
+        def build(pts, lab, m):
+            x, y = prep(pts, lab, m)
+            return x.astype(store_dtype), y.astype(store_dtype)
+
+        xs, ys = [], []
+        for start in range(0, n, load_batch):
+            end = min(start + load_batch, n)
+            x, y = build(cache.points[start:end], cache.labels[start:end],
+                         cache.mask[start:end])
+            xs.append(x)
+            ys.append(y)
+        self.x = jnp.concatenate(xs)
+        self.y = jnp.concatenate(ys)
+
+    def __len__(self) -> int:
+        return int(self.x.shape[0])
+
+
 class CacheLoader:
     """Re-iterable epoch view over a :class:`DevicePointCache` — drop-in
     for the Trainer's ``train_loader`` (each ``__iter__`` is a fresh

@@ -422,6 +422,107 @@ class Trainer:
                 body, init, jnp.arange(n_batches))
             return state, mstate, loss_sum / n_batches
 
+        def run_epoch(state, sub):
+            return epoch_fn(state, cache.points, cache.labels, cache.mask, sub)
+
+        return self._run_scan_epochs(state, tx, run_epoch, key, val_loader)
+
+    def fit_grid_cached(
+        self,
+        params: Any,
+        grids: Any,
+        batch_size: int = 16,
+        augment: bool = True,
+        key: Optional[jax.Array] = None,
+        val_loader: Optional[Iterable] = None,
+    ) -> Tuple[Any, Dict[str, float]]:
+        """Train from a :class:`scenenet_tpu.data.device_cache.DeviceGridCache`
+        — voxelization paid once at cache build, every epoch one ``lax.scan``
+        dispatch of pure conv/loss/optimizer work.
+
+        ``augment=True`` applies a fresh per-sample grid-space D4 symmetry
+        (:func:`~scenenet_tpu.data.device_cache.d4_transform_grids`) each
+        visit — the axis-aligned subgroup of the point-space z-rotation/flip
+        augmentation in :meth:`fit_cached` (use that when arbitrary-angle
+        rotation matters; it revoxelizes per batch). With ``augment=False``
+        and the same key, training here matches :meth:`fit_cached`
+        (augment=False) to float-rounding level (~1e-7: the uint8 grid
+        storage is exact, XLA just fuses the loss reductions differently
+        in the two programs) — tested."""
+        assert not self._stateful, "fit_grid_cached supports stateless models"
+        from scenenet_tpu.data.device_cache import (
+            d4_transform_grids, permute_rows,
+        )
+
+        cfg = self.config
+        mask_tree = self.model.trainable_mask(params) if \
+            hasattr(self.model, "trainable_mask") else None
+        state, tx = create_train_state(params, cfg.optimizer,
+                                       cfg.learning_rate, mask_tree)
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
+        needs_vf = optimizer_needs_value_fn(cfg.optimizer)
+        n = len(grids)
+        n_batches = n // batch_size
+        if n_batches == 0:
+            raise ValueError(
+                f"fit_grid_cached: cache holds {n} samples < batch {batch_size}")
+        key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
+
+        @jax.jit
+        def epoch_fn(state: TrainState, xs, ys, key):
+            key, kperm = jax.random.split(key)
+            order = jax.random.permutation(kperm, n)
+            # bulk permute (see fit_cached), at 32-bit gather width — the
+            # uint8 gather is ~60× slower (see permute_rows)
+            xs_s = permute_rows(xs, order)
+            ys_s = permute_rows(ys, order)
+
+            def body(carry, b):
+                state, mstate, loss_sum, key = carry
+                x = jax.lax.dynamic_slice_in_dim(xs_s, b * batch_size,
+                                                 batch_size)
+                y = jax.lax.dynamic_slice_in_dim(ys_s, b * batch_size,
+                                                 batch_size)
+                if augment:
+                    key, ka = jax.random.split(key)
+                    bits = jax.random.bernoulli(ka, 0.5, (3, batch_size))
+                    x = d4_transform_grids(x, *bits)
+                    y = d4_transform_grids(y, *bits)
+                x = x.astype(jnp.float32)
+                y = y.astype(jnp.float32)
+                (loss, (pred, _)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(state.params, x, y, None)
+                if needs_vf:
+                    def value_fn(p):
+                        return self._loss(p, x, y, None)[0]
+
+                    updates, opt_state = tx.update(
+                        grads, state.opt_state, state.params,
+                        value=loss, grad=grads, value_fn=value_fn)
+                else:
+                    updates, opt_state = tx.update(grads, state.opt_state,
+                                                   state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                state = state.replace(step=state.step + 1, params=new_params,
+                                      opt_state=opt_state)
+                mstate = update_metrics(mstate, pred, y, cfg.tau)
+                return (state, mstate, loss_sum + loss, key), None
+
+            init = (state, init_metric_state(), jnp.zeros(()), key)
+            (state, mstate, loss_sum, _), _ = jax.lax.scan(
+                body, init, jnp.arange(n_batches))
+            return state, mstate, loss_sum / n_batches
+
+        def run_epoch(state, sub):
+            return epoch_fn(state, grids.x, grids.y, sub)
+
+        return self._run_scan_epochs(state, tx, run_epoch, key, val_loader)
+
+    def _run_scan_epochs(self, state, tx, run_epoch, key, val_loader):
+        """Shared epoch loop for the device-cached fits: per-epoch host work
+        is logging/checkpointing only; the epoch itself is one dispatch."""
+        cfg = self.config
         monitors = {f"train_{m}": "max" for m in METRIC_NAMES}
         monitors["train_loss"] = "min"
         ckpt = CheckpointManager(cfg.checkpoint_dir, monitors,
@@ -434,8 +535,7 @@ class Trainer:
         while cfg.max_epochs < 0 or epoch < cfg.max_epochs:
             t0 = time.time()
             key, sub = jax.random.split(key)
-            state, mstate, mean_loss = epoch_fn(
-                state, cache.points, cache.labels, cache.mask, sub)
+            state, mstate, mean_loss = run_epoch(state, sub)
             scores = {f"train_{k}": float(v) for k, v in
                       compute_metrics(mstate, cfg.fbeta).items()}
             scores["train_loss"] = float(mean_loss)

@@ -42,10 +42,15 @@ class ExperimentConfig:
     keep_labels: Tuple[int, ...] = (15,)
     device_voxelization: bool = True   # TPU path; False = host-oracle path
     max_points: int = 65536
-    # HBM-resident dataset + one-scan-dispatch epochs (Trainer.fit_cached);
-    # requires device_voxelization and a dataset that fits device memory
-    device_cache: bool = False
-    augment: bool = True  # on-device z-rotation/xy-flip (device_cache path)
+    # HBM-resident dataset + one-scan-dispatch epochs. True/"points" keeps
+    # raw points resident and revoxelizes per batch (Trainer.fit_cached,
+    # arbitrary-angle z-rotation augmentation); "grids" keeps the voxelized
+    # grids resident — voxelization paid once, epochs are pure
+    # conv/loss/optimizer work with grid-space D4 augmentation
+    # (Trainer.fit_grid_cached). Requires device_voxelization and a
+    # dataset that fits device memory.
+    device_cache: Any = False  # False | True | "points" | "grids"
+    augment: bool = True  # on-device augmentation (device_cache paths)
 
     # model
     model: str = "scenenet"

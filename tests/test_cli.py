@@ -119,6 +119,28 @@ class TestDeviceCacheCLI:
         assert np.isfinite(scores["train_loss"])
         assert np.isfinite(scores["test_loss"])
 
+    def test_device_cache_grids_mode(self, tmp_path, small_cloud):
+        """device_cache: "grids" routes through fit_grid_cached (voxelized
+        grids resident, D4 augmentation)."""
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "ds"
+        for split in ("fit", "test"):
+            (root / split).mkdir(parents=True)
+            for i in range(4):
+                np.save(root / split / f"s{i}.npy", small_cloud)
+        cfg = ExperimentConfig(
+            data_path=str(root), output_dir=str(tmp_path / "out"),
+            batch_size=2, voxel_grid_size=(12, 12, 12), max_epochs=2,
+            num_workers=1, early_stop_metric=None, val_split=0.0,
+            device_voxelization=True, device_cache="grids", augment=True,
+            max_points=4096,
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+        assert np.isfinite(scores["test_loss"])
+
 
 class TestSetOverrides:
     def test_repeated_set_flags_all_apply(self):

@@ -350,3 +350,169 @@ class TestFitCached:
                                      val_loader=val_batches)
         assert np.isfinite(best["val_loss"])
         assert "val_F1Score" in best
+
+
+class TestFitGridCached:
+    class _DS:
+        def __init__(self, n=8, seed=0):
+            rng = np.random.default_rng(seed)
+            self.samples = [
+                (rng.uniform(0, 20, (2048, 3)).astype(np.float32),
+                 rng.choice([1, 2, 15], 2048).astype(np.int32),
+                 np.ones(2048, bool))
+                for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    @staticmethod
+    def _setup(tmp_path, tag, epochs=2):
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("focal_tversky")(
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6,
+            focal_gamma=4)
+        cfg = TrainConfig(max_epochs=epochs, learning_rate=5e-2,
+                          early_stop_metric=None, log_gradients=False,
+                          checkpoint_dir=str(tmp_path / f"c{tag}"),
+                          run_dir=str(tmp_path / f"r{tag}"))
+        prep = make_device_voxelize_prep((16, 16, 16), (15,),
+                                         use_indices=False)
+        return net, params, crit, cfg, prep
+
+    def test_matches_fit_cached_without_augmentation(self, tmp_path):
+        """augment=False: training from cached grids matches revoxelizing
+        every batch (same shuffle key) to float-rounding level — the uint8
+        grid storage is exact ({0,1} values); the residual ~1e-7 is XLA
+        fusing the loss reductions differently in the two programs."""
+        import jax
+
+        from scenenet_tpu.data.device_cache import (
+            DeviceGridCache, DevicePointCache,
+        )
+
+        cache = DevicePointCache(self._DS(8))
+        net, params, crit, cfg, prep = self._setup(tmp_path, "a")
+        trainer = Trainer(net, crit, cfg, batch_prep=prep)
+        ref, _ = trainer.fit_cached(params, cache, batch_size=4,
+                                    augment=False, key=jax.random.PRNGKey(7))
+
+        gcache = DeviceGridCache(cache, prep, load_batch=3)  # ragged loads
+        net2, params2, crit2, cfg2, prep2 = self._setup(tmp_path, "b")
+        trainer2 = Trainer(net2, crit2, cfg2, batch_prep=prep2)
+        out, _ = trainer2.fit_grid_cached(params2, gcache, batch_size=4,
+                                          augment=False,
+                                          key=jax.random.PRNGKey(7))
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_d4_augmented_training(self, tmp_path):
+        import jax
+
+        from scenenet_tpu.data.device_cache import (
+            DeviceGridCache, DevicePointCache,
+        )
+
+        cache = DevicePointCache(self._DS(8, seed=3))
+        net, params, crit, cfg, prep = self._setup(tmp_path, "d", epochs=3)
+        gcache = DeviceGridCache(cache, prep)
+        trainer = Trainer(net, crit, cfg, batch_prep=prep)
+        final, best = trainer.fit_grid_cached(params, gcache, batch_size=4,
+                                              augment=True,
+                                              key=jax.random.PRNGKey(2))
+        assert np.isfinite(best["train_loss"])
+        assert "train_F1Score" in best
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(params))
+        )
+        assert moved
+
+
+class TestD4Transform:
+    def test_eight_distinct_elements_and_numpy_parity(self):
+        from scenenet_tpu.data.device_cache import d4_transform_grids
+
+        rng = np.random.default_rng(0)
+        g = rng.random((1, 1, 4, 6, 6)).astype(np.float32)
+        outs = []
+        for t in (False, True):
+            for fx in (False, True):
+                for fy in (False, True):
+                    ref = g[0, 0]
+                    if t:
+                        ref = np.swapaxes(ref, -1, -2)
+                    if fx:
+                        ref = np.flip(ref, axis=-2)
+                    if fy:
+                        ref = np.flip(ref, axis=-1)
+                    out = d4_transform_grids(
+                        jnp.asarray(g), jnp.asarray([t]), jnp.asarray([fx]),
+                        jnp.asarray([fy]))
+                    np.testing.assert_array_equal(np.asarray(out[0, 0]), ref)
+                    outs.append(np.asarray(out))
+        flat = [o.tobytes() for o in outs]
+        assert len(set(flat)) == 8  # full D4 group, all distinct
+
+    def test_grid_d4_equals_point_space_symmetry(self):
+        """Flipping/transposing the raw xy coordinates then voxelizing
+        equals applying the same D4 element to the voxelized grid — the
+        property that makes grid-space augmentation equivalent to the
+        axis-aligned subgroup of point-space augmentation. Equality is
+        up to bin-edge ε: the pyntcloud-parity rule ``ceil(rel−1e-4)−1``
+        is not exactly mirror-symmetric, so points within ε·step of a bin
+        edge may mirror into the adjacent bin (≤1 voxel here)."""
+        from scenenet_tpu.data.device_cache import d4_transform_grids
+        from scenenet_tpu.ops.voxelize import voxelize_batch_binary
+
+        rng = np.random.default_rng(5)
+        n, grid = 4096, (16, 16, 16)
+        pts = rng.uniform(0, 20, (1, n, 3)).astype(np.float32)
+        labels = rng.choice([1, 2, 15], (1, n)).astype(np.int32)
+        mask = np.ones((1, n), bool)
+
+        x0, y0 = voxelize_batch_binary(jnp.asarray(pts), jnp.asarray(labels),
+                                       jnp.asarray(mask), (15,), grid)
+
+        # point-space: mirror x about the AABB center, swap x/y
+        lo, hi = pts[0].min(0), pts[0].max(0)
+        p2 = pts.copy()
+        p2[..., 0] = (lo[0] + hi[0]) - p2[..., 0]           # flip x
+        p2 = p2[..., [1, 0, 2]]                             # transpose x/y
+        x1, y1 = voxelize_batch_binary(jnp.asarray(p2), jnp.asarray(labels),
+                                       jnp.asarray(mask), (15,), grid)
+
+        # grid-space: same element. Grids are (B, Z, X, Y); add the channel
+        # axis the transform expects. Point-space "flip x then swap x/y"
+        # equals grid-space transpose-then-flip-Y (the flip rides along).
+        tt = jnp.asarray([True])
+        ff = jnp.asarray([False])
+        x0t = d4_transform_grids(x0[:, None], tt, ff, jnp.asarray([True]))
+        y0t = d4_transform_grids(y0[:, None], tt, ff, jnp.asarray([True]))
+        for got, want in ((x0t[:, 0], x1), (y0t[:, 0], y1)):
+            mismatch = int((np.asarray(got) != np.asarray(want)).sum())
+            assert mismatch <= max(2, want.size // 1000), mismatch
+
+
+class TestPermuteRows:
+    def test_matches_take_across_dtypes_and_shapes(self):
+        import jax
+        from scenenet_tpu.data.device_cache import permute_rows
+
+        rng = np.random.default_rng(0)
+        order = jnp.asarray(rng.permutation(10))
+        for shape, dtype in [((10, 1, 4, 4, 4), np.uint8),   # 4-aligned rows
+                             ((10, 3, 5), np.uint8),         # 15 B: fallback
+                             ((10, 8), np.float32),
+                             ((10, 6), np.float16)]:         # 2-byte packing
+            a = jnp.asarray(
+                (rng.random(shape) * 100).astype(dtype))
+            want = jnp.take(a, order, axis=0)
+            got = permute_rows(a, order)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
