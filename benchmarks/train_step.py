@@ -78,4 +78,12 @@ def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--points", type=int, default=65536)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    a = ap.parse_args()
+    main(batch=a.batch, n_points=a.points, grid=(a.grid,) * 3, iters=a.iters)

@@ -313,13 +313,78 @@ def _stencil_dk_kernel(x_ref, g_ref, o_ref, shift_ref, *,
             o_ref[pl.ds(r, 1), :] += row[None, :]
 
 
+def _stencil_dk_kernel_hbm(x_hbm, g_hbm, o_ref, *, kernel_size, bz, out_xy):
+    """Large-grid dk: DMA one overlapping x z-slab window + the matching g
+    slab from HBM per grid step; same x-batched plane-dot matmuls + masked
+    diagonal contraction as :func:`_stencil_dk_kernel`; the (k_x·k_y, k_z)
+    accumulators live in the revisited VMEM output block. The zero padding
+    of g (xy tile alignment + z slab round-up) contributes nothing to any
+    contraction, so results are exact."""
+    k_z, k_x, k_y = kernel_size
+    ox, oy = out_xy
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref[...])
+
+    t = bz + k_z - 1
+
+    def body(scratch, gslab, shift, sem_x, sem_g):
+        dma_x = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * bz, t)], scratch, sem_x)
+        dma_g = pltpu.make_async_copy(
+            g_hbm.at[i, pl.ds(j * bz, bz)], gslab, sem_g)
+        dma_x.start()
+        dma_g.start()
+        dma_x.wait()
+        dma_g.wait()
+        g = gslab[...]  # (bz, ox, oy)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (k_z, t, bz), 1)
+        z_ids = jax.lax.broadcasted_iota(jnp.int32, (k_z, t, bz), 2)
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, (k_z, t, bz), 0)
+        masks = (t_ids == z_ids + d_ids).astype(jnp.float32)
+        for dx in range(k_x):
+            for dy in range(k_y):
+                shift[...] = scratch[:, dx:dx + ox, dy:dy + oy]
+                mx = jax.lax.dot_general(
+                    shift[...].transpose(1, 0, 2), g.transpose(1, 0, 2),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m = jnp.sum(mx, axis=0)  # (T, bz) plane dots
+                rowt = jax.lax.dot_general(
+                    masks.transpose(1, 0, 2), m,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                row = jnp.sum(rowt, axis=0)  # (k_z,)
+                r = dx * k_y + dy
+                o_ref[pl.ds(r, 1), :] += row[None, :]
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((t, ox + k_x - 1 + ((-(ox + k_x - 1)) % 8),
+                            oy + k_y - 1 + ((-(oy + k_y - 1)) % 128)),
+                           jnp.float32),
+        gslab=pltpu.VMEM((bz, ox, oy), jnp.float32),
+        shift=pltpu.VMEM((t, ox, oy), jnp.float32),
+        sem_x=pltpu.SemaphoreType.DMA(()),
+        sem_g=pltpu.SemaphoreType.DMA(()),
+    )
+
+
 def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
                kernel_size: Tuple[int, int, int],
                interpret: bool = False) -> jnp.ndarray:
     """Pallas kernel-gradient for the SAME stencil conv: x, g (B,1,Z,X,Y) →
     dk (k_z,k_x,k_y). The XLA batch-as-feature conv formulation measures
     ~12 ms per batch-16 step on a v5e — it dominated the train step; this
-    kernel cuts the full step from 23.4 to 17.9 ms."""
+    kernel cuts the full step from 23.4 to 17.9 ms.
+
+    Small volumes keep the padded x resident in VMEM; larger ones (128³+)
+    stream overlapping x z-slab windows and g slabs from HBM via explicit
+    DMA — the same structure as the forward's HBM variant — so big-grid
+    *training* gets the fast kernel gradient too."""
     b, _, z, xx, yy = x.shape
     k_z, k_x, k_y = kernel_size
     pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in kernel_size]
@@ -330,26 +395,62 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
         xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, zpad), (0, 0), (0, 0)))
         z = z + zpad
-    kernel_fn = functools.partial(_stencil_dk_kernel, kernel_size=kernel_size,
-                                  bz=bz)
+
+    resident = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1) \
+        <= 4 * 1024 * 1024
+    if resident:
+        kernel_fn = functools.partial(_stencil_dk_kernel,
+                                      kernel_size=kernel_size, bz=bz)
+        out = pl.pallas_call(
+            kernel_fn,
+            out_shape=jax.ShapeDtypeStruct((k_x * k_y, k_z), jnp.float32),
+            grid=(b, z // bz),
+            in_specs=[
+                pl.BlockSpec((1, z + k_z - 1, xx + k_x - 1, yy + k_y - 1),
+                             lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k_x * k_y, k_z), lambda i, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xp, g[:, 0])
+        return out.reshape(k_x, k_y, k_z).transpose(2, 0, 1)
+
+    # HBM-streamed: tile-align the DMA'd planes — g to (8, 128) multiples
+    # (zero-padded; padding contracts against zeros), x to cover the padded
+    # g's taps plus its own (8, 128) alignment
+    ox = xx + ((-xx) % 8)
+    oy = yy + ((-yy) % 128)
+    xp_x = ox + k_x - 1 + ((-(ox + k_x - 1)) % 8)
+    xp_y = oy + k_y - 1 + ((-(oy + k_y - 1)) % 128)
+    xp = jnp.pad(xp, ((0, 0), (0, 0),
+                      (0, xp_x - (xx + k_x - 1)), (0, xp_y - (yy + k_y - 1))))
+    gp = jnp.pad(g[:, 0], ((0, 0), (0, 0), (0, ox - xx), (0, oy - yy)))
+    kernel_fn = functools.partial(_stencil_dk_kernel_hbm,
+                                  kernel_size=kernel_size, bz=bz,
+                                  out_xy=(ox, oy))
+    space = pltpu.ANY if interpret else pltpu.HBM
     out = pl.pallas_call(
         kernel_fn,
         out_shape=jax.ShapeDtypeStruct((k_x * k_y, k_z), jnp.float32),
         grid=(b, z // bz),
         in_specs=[
-            pl.BlockSpec((1, z + k_z - 1, xx + k_x - 1, yy + k_y - 1),
-                         lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
         ],
         out_specs=pl.BlockSpec((k_x * k_y, k_z), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, yy), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, g[:, 0])
+    )(xp, gp)
     return out.reshape(k_x, k_y, k_z).transpose(2, 0, 1)
 
 
@@ -399,9 +500,9 @@ def _fused_bwd(interpret, res, g):
         )
 
     # dk[dz,dx,dy] = Σ_{b,z,x,y} x_pad[b, z+dz, ...] · act_grad[b, z, ...]
-    vol_bytes = 4 * (x.shape[2] + k_z - 1) * (x.shape[3] + k_x - 1) * \
-        (x.shape[4] + k_y - 1)
-    if vol_bytes <= 4 * 1024 * 1024 and not interpret:
+    # stencil_dk self-dispatches: VMEM-resident for small volumes,
+    # HBM-streamed slabs for 128³+ (big-grid training)
+    if not interpret:
         dk = stencil_dk(x, act_grad, (k_z, k_x, k_y))
     else:
         # fallback: conv with the batch dim playing the input-feature role

@@ -262,3 +262,35 @@ class TestBf16Scratch:
         ref = net.apply(params, x)
         out = net.apply(params, x, inference=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+class TestHBMStreamedDk:
+    """HBM-streamed dk variant (128³+ training): exactness vs the XLA
+    batch-as-feature formulation on volumes past the VMEM-resident cap,
+    including non-tile-aligned xy extents and odd Z."""
+
+    @pytest.mark.parametrize("shape,ks", [
+        ((1, 1, 40, 144, 256), (9, 5, 5)),   # > 4 MB → HBM path, aligned xy
+        ((2, 1, 64, 130, 140), (3, 3, 3)),   # unaligned xy (pad x/y)
+        ((1, 1, 37, 160, 200), (9, 7, 7)),   # odd Z (slab round-up) + pads
+    ])
+    def test_matches_xla(self, shape, ks):
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import stencil_dk
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        g = jnp.asarray(rng.random(shape).astype(np.float32))
+        vol = 4 * (shape[2] + ks[0] - 1) * (shape[3] + ks[1] - 1) * \
+            (shape[4] + ks[2] - 1)
+        assert vol > 4 * 1024 * 1024  # actually exercises the HBM variant
+        dk = stencil_dk(x, g, ks, interpret=True)
+        pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in ks]
+        xp = jnp.asarray(np.pad(np.asarray(x), pads))
+        ref = lax.conv_general_dilated(
+            xp[:, 0][None], jnp.swapaxes(g[:, 0][:, None], 0, 1),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-2)
