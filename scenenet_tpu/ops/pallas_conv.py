@@ -375,7 +375,8 @@ def _stencil_dk_kernel_hbm(x_hbm, g_hbm, o_ref, *, kernel_size, bz, out_xy):
 
 def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
                kernel_size: Tuple[int, int, int],
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False,
+               z_prepadded: bool = False) -> jnp.ndarray:
     """Pallas kernel-gradient for the SAME stencil conv: x, g (B,1,Z,X,Y) →
     dk (k_z,k_x,k_y). The XLA batch-as-feature conv formulation measures
     ~12 ms per batch-16 step on a v5e — it dominated the train step; this
@@ -384,10 +385,20 @@ def stencil_dk(x: jnp.ndarray, g: jnp.ndarray,
     Small volumes keep the padded x resident in VMEM; larger ones (128³+)
     stream overlapping x z-slab windows and g slabs from HBM via explicit
     DMA — the same structure as the forward's HBM variant — so big-grid
-    *training* gets the fast kernel gradient too."""
+    *training* gets the fast kernel gradient too.
+
+    ``z_prepadded=True`` treats x's z extent as already carrying the
+    k_z − 1 halo planes (the spatially-sharded halo path: x has
+    Z_local + k_z − 1 planes, g has Z_local) — VALID z, SAME x/y."""
     b, _, z, xx, yy = x.shape
     k_z, k_x, k_y = kernel_size
-    pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in kernel_size]
+    if z_prepadded:
+        z = z - (k_z - 1)
+        assert g.shape[2] == z, (g.shape, x.shape)
+        pads = [(0, 0), (0, 0), (0, 0),
+                ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+    else:
+        pads = [(0, 0), (0, 0)] + [((k - 1) // 2, k // 2) for k in kernel_size]
     xp = jnp.pad(x, pads)[:, 0]
     bz, zpad = _pick_slab(z)
     if zpad:
@@ -553,27 +564,40 @@ def _halo_bwd(activation, interpret, res, g):
         # out = relu(tanh(c)); d/dc = 1 − tanh²(c) where tanh(c) > 0
         g = g * jnp.where(out > 0, 1.0 - out * out, 0.0)
     # dx_ext: full correlation along z (pads k_z−1 both sides), mirrored
-    # SAME pads in x/y — standard conv-transpose algebra for VALID/SAME
+    # SAME pads in x/y — standard conv-transpose algebra for VALID/SAME.
+    # For all-odd kernels the mirrored x/y pads equal the forward SAME
+    # pads, so z-padding g by k_z−1 both sides turns it into exactly the
+    # VALID-z stencil — the Pallas kernel streams it at any volume.
     flipped = kernel[::-1, ::-1, ::-1]
-    pads = [(k_z - 1, k_z - 1), (k_x // 2, (k_x - 1) // 2),
-            (k_y // 2, (k_y - 1) // 2)]
-    dx = lax.conv_general_dilated(
-        g, flipped[None, None], (1, 1, 1), pads,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
-    )
-    # dk: batch-as-feature conv, z VALID (x_ext already carries the halos),
-    # x/y padded with the forward SAME pads
-    pads_x = [(0, 0), (0, 0), (0, 0),
-              ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
-    x_pad = jnp.pad(x_ext, pads_x)
-    lhs = x_pad[:, 0][None]                  # (1, B, Z_ext, Xp, Yp)
-    rhs = jnp.swapaxes(g[:, 0][:, None], 0, 1)  # (1, B, Z_local, X, Y)
-    dk = lax.conv_general_dilated(
-        lhs, rhs, (1, 1, 1), "VALID",
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
-    )[0, 0]
+    all_odd = (k_z % 2) and (k_x % 2) and (k_y % 2)
+    if all_odd and not interpret:
+        g_ext = jnp.pad(g, [(0, 0), (0, 0), (k_z - 1, k_z - 1),
+                            (0, 0), (0, 0)])
+        dx = geneo_stencil_conv(g_ext, flipped, activation=False,
+                                z_prepadded=True)
+    else:
+        pads = [(k_z - 1, k_z - 1), (k_x // 2, (k_x - 1) // 2),
+                (k_y // 2, (k_y - 1) // 2)]
+        dx = lax.conv_general_dilated(
+            g, flipped[None, None], (1, 1, 1), pads,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            preferred_element_type=jnp.float32,
+        )
+    # dk: z VALID (x_ext already carries the halos), x/y SAME — the
+    # prepadded Pallas kernel gradient (VMEM-resident or HBM-streamed)
+    if not interpret:
+        dk = stencil_dk(x_ext, g, (k_z, k_x, k_y), z_prepadded=True)
+    else:
+        pads_x = [(0, 0), (0, 0), (0, 0),
+                  ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+        x_pad = jnp.pad(x_ext, pads_x)
+        lhs = x_pad[:, 0][None]                  # (1, B, Z_ext, Xp, Yp)
+        rhs = jnp.swapaxes(g[:, 0][:, None], 0, 1)  # (1, B, Z_local, X, Y)
+        dk = lax.conv_general_dilated(
+            lhs, rhs, (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            preferred_element_type=jnp.float32,
+        )[0, 0]
     return dx, dk
 
 

@@ -294,3 +294,57 @@ class TestHBMStreamedDk:
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
         np.testing.assert_allclose(np.asarray(dk), np.asarray(ref),
                                    rtol=1e-4, atol=1e-2)
+
+
+class TestHaloBackwardKernels:
+    """The Pallas formulations _halo_bwd routes to on TPU, checked in
+    interpret mode against the XLA conv algebra it replaces."""
+
+    @pytest.mark.parametrize("ks", [(9, 5, 5), (3, 3, 3), (9, 7, 7)])
+    def test_prepadded_stencil_dk_matches_xla(self, ks):
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import stencil_dk
+
+        rng = np.random.default_rng(8)
+        k_z, k_x, k_y = ks
+        zl, xx, yy = 10, 16, 16
+        x_ext = jnp.asarray(
+            rng.random((2, 1, zl + k_z - 1, xx, yy)).astype(np.float32))
+        g = jnp.asarray(rng.random((2, 1, zl, xx, yy)).astype(np.float32))
+        dk = stencil_dk(x_ext, g, ks, interpret=True, z_prepadded=True)
+        pads_x = [(0, 0), (0, 0), (0, 0),
+                  ((k_x - 1) // 2, k_x // 2), ((k_y - 1) // 2, k_y // 2)]
+        x_pad = jnp.asarray(np.pad(np.asarray(x_ext), pads_x))
+        ref = lax.conv_general_dilated(
+            x_pad[:, 0][None], jnp.swapaxes(g[:, 0][:, None], 0, 1),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))[0, 0]
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_halo_dx_stencil_identity(self):
+        """dx_ext for the VALID-z halo conv == the z-prepadded stencil on
+        the doubly-z-padded cotangent with the flipped kernel (all-odd)."""
+        from jax import lax
+
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv
+
+        rng = np.random.default_rng(9)
+        ks = (9, 5, 5)
+        k_z, k_x, k_y = ks
+        zl, xx, yy = 8, 16, 16
+        kernel = jnp.asarray(rng.standard_normal(ks).astype(np.float32))
+        g = jnp.asarray(rng.random((2, 1, zl, xx, yy)).astype(np.float32))
+        flipped = kernel[::-1, ::-1, ::-1]
+        g_ext = jnp.pad(g, [(0, 0), (0, 0), (k_z - 1, k_z - 1),
+                            (0, 0), (0, 0)])
+        dx = geneo_stencil_conv(g_ext, flipped, activation=False,
+                                z_prepadded=True, interpret=True)
+        pads = [(k_z - 1, k_z - 1), (k_x // 2, (k_x - 1) // 2),
+                (k_y // 2, (k_y - 1) // 2)]
+        ref = lax.conv_general_dilated(
+            g, flipped[None, None], (1, 1, 1), pads,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
