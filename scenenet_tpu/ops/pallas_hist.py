@@ -169,17 +169,24 @@ def pallas_points_bin_counts(
     tower: Optional[jnp.ndarray],
     grid_shape: Tuple[int, int, int],
     interpret: bool = False,
-    chunk: int = CHUNK,
+    chunk: Optional[int] = None,
     channels: int = 2,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """(B, N, 3) raw points (+mask, optional tower indicator) →
     (B, size) counts [, tower counts]: bounds, binning and histogram fused
     in one Pallas kernel (int8 MXU dots; f32 binning math identical to
-    :func:`scenenet_tpu.ops.voxelize.voxel_indices`)."""
+    :func:`scenenet_tpu.ops.voxelize.voxel_indices`).
+
+    ``chunk=None`` auto-picks: 4096 at ≤512 hi-bins (64³; sweep showed
+    2048–8192 within 2% there), 8192 for larger grids (128³: the taller
+    (n_hi, chunk) one-hot amortizes over a deeper contraction — measured
+    9% off the kernel)."""
     b, n, _ = points.shape
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
     n_hi = -(-size // LO)
+    if chunk is None:
+        chunk = 8192 if n_hi > 512 else CHUNK
     if n % chunk:
         pad = chunk - n % chunk
         points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
