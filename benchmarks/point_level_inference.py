@@ -23,7 +23,7 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
     from scenenet_tpu.models import SceneNet
     from scenenet_tpu.ops.voxelize import (
         gather_point_values, grid_bounds, voxel_indices, _flat_zxy_idx,
-        voxelize_batch_hist,
+        voxelize_batch_occupancy,
     )
 
     files = sorted(f for f in os.listdir(FIXTURES) if f.endswith(".npy"))
@@ -42,8 +42,9 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
 
     @jax.jit
     def pipeline(params, pts, mask):
-        hist = voxelize_batch_hist(pts, mask, grid)
-        x = (hist > 0).astype(jnp.float32)[:, None]
+        # occupancy == (hist > 0) exactly, minus the normalization the
+        # threshold would discard anyway
+        x = voxelize_batch_occupancy(pts, mask, grid).astype(jnp.float32)[:, None]
         pred = net.apply(params, x, inference=True)[:, 0]
 
         def per_sample_flat(p, m):
