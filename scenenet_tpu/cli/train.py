@@ -44,6 +44,18 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
         return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed,
                                smart=getattr(cfg, "geneo_init", "random") == "smart",
                                backend=backend)
+    if cfg.model == "quantile":
+        from scenenet_tpu.models import QuantileSceneNet
+
+        backend = getattr(cfg, "model_backend", "auto")
+        if backend == "auto":
+            import jax
+
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        return QuantileSceneNet.create(
+            cfg.geneo_num(), cfg.kernel_size, seed=seed,
+            quantiles=tuple(getattr(cfg, "quantiles", (0.1, 0.5, 0.9))),
+            backend=backend)
     if cfg.model == "cnn":
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
                                   input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))

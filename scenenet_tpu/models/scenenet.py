@@ -270,10 +270,11 @@ class QuantileSceneNet:
 
     @classmethod
     def create(cls, geneo_num=None, kernel_size=(9, 6, 6), quantiles=(0.1, 0.5, 0.9),
-               version: str = "v2", seed: int = 0):
+               version: str = "v2", seed: int = 0, backend: str = "xla"):
         nets, params = [], []
         for q in range(len(quantiles)):
-            net, p = SceneNet.create(geneo_num, kernel_size, version, seed=seed + q)
+            net, p = SceneNet.create(geneo_num, kernel_size, version,
+                                     seed=seed + q, backend=backend)
             nets.append(net)
             params.append(p)
         # ensemble members share structure; stack their params on a leading axis

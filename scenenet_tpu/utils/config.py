@@ -53,7 +53,8 @@ class ExperimentConfig:
     augment: bool = True  # on-device augmentation (device_cache paths)
 
     # model
-    model: str = "scenenet"
+    model: str = "scenenet"  # "scenenet" | "quantile" | "cnn" | "unet"
+    quantiles: Tuple[float, ...] = (0.1, 0.5, 0.9)  # model: quantile
     # "auto" → pallas on TPU, xla elsewhere. The fused Pallas stencil is
     # 4.1× the XLA conv for the full train step (see benchmarks/RESULTS.md)
     model_backend: str = "auto"  # "auto" | "xla" | "pallas"

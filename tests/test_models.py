@@ -142,3 +142,40 @@ class TestGENEONetAlias:
         assert net.version == "v1"
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestQuantilePallasBackend:
+    def test_vmapped_pallas_matches_xla(self, monkeypatch):
+        """QuantileSceneNet(backend=pallas): the vmapped ensemble forward
+        through the Pallas stencil (interpret mode) matches the XLA
+        backend member-for-member."""
+        import scenenet_tpu.ops.pallas_conv as pc
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.7)
+                        .astype(np.float32))
+        ref_m, ref_p = QuantileSceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        pal_m, pal_p = QuantileSceneNet.create(kernel_size=(9, 5, 5), seed=3,
+                                               backend="pallas")
+        orig = pc.geneo_stencil_conv
+        monkeypatch.setattr(
+            pc, "fused_geneo_conv",
+            lambda x, k, interpret=False: orig(x, k, activation=True,
+                                               interpret=True))
+        ref = ref_m.apply(ref_p, x)
+        out = pal_m.apply(pal_p, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_cli_builds_quantile_model(self):
+        from scenenet_tpu.cli.train import build_model
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        cfg = ExperimentConfig(model="quantile", quantiles=(0.2, 0.8),
+                               kernel_size=(9, 5, 5))
+        model, params = build_model(cfg, seed=0)
+        assert model.quantiles == (0.2, 0.8)
+        x = jnp.zeros((1, 1, 12, 12, 12), jnp.float32)
+        out = model.apply(params, x)
+        assert out.shape == (1, 2, 12, 12, 12)
