@@ -52,12 +52,22 @@ def main():
     g = args.grid
     x = (rng.random((args.batch, 1, g, g, g)) > 0.97).astype(np.float32)
 
-    out = run(params, x)
-    jax.block_until_ready(out)
+    # honest on-device timing: ship the input ONCE, run iters inside one
+    # fori_loop (per-call device_put of a 128³ batch through a remote
+    # tunnel is transfer-bound and measures the link, not the chip), and
+    # fetch a single scalar to force completion (block_until_ready can
+    # return early through the tunnel)
+    x_d = jax.device_put(jnp.asarray(x), run.in_sharding)
+
+    @jax.jit
+    def loop(params, xd):
+        def body(i, acc):
+            return acc + jnp.sum(run.forward(params, xd + i * 1e-7))
+        return jax.lax.fori_loop(0, args.iters, body, 0.0)
+
+    float(loop(params, x_d))  # compile + warm
     t0 = time.perf_counter()
-    total = 0.0
-    for _ in range(args.iters):
-        total += float(jnp.sum(run(params, x)))  # force completion
+    total = float(loop(params, x_d))
     dt = time.perf_counter() - t0
     thru = args.batch * args.iters / dt
     print(f"mesh=({args.data}x{args.space}) grid={g}^3 batch={args.batch}: "

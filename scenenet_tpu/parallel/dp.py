@@ -53,25 +53,36 @@ def shard_batch(batch, mesh: Mesh, batch_axis: str = "data",
     return tuple(jax.device_put(jnp.asarray(b), sharding) for b in batch)
 
 
-def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None) -> Callable:
+def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
+                         inference: bool = True) -> Callable:
     """jit'd forward with the batch sharded over ``data`` (and optionally Z
     over ``space``): XLA/GSPMD partitions the conv automatically for pure
-    DP; with a space axis we run the explicit halo-exchange forward."""
+    DP; with a space axis we run the explicit halo-exchange forward.
+
+    ``inference=True`` (default — this is the inference fn) takes the
+    bf16-tap-scratch Pallas forward where the model backend allows it
+    (bit-exact for {0,1} occupancy grids)."""
     if space_axis is None:
         in_sharding = NamedSharding(mesh, P("data", None, None, None, None))
 
         @jax.jit
         def forward(params, x):
-            return model.apply(params, x)
+            try:
+                return model.apply(params, x, inference=inference)
+            except TypeError:  # models without an inference knob (cnn/unet)
+                return model.apply(params, x)
 
         def run(params, x):
             x = jax.device_put(jnp.asarray(x), in_sharding)
             return forward(params, x)
 
+        run.forward = forward        # device-side forward (for on-device
+        run.in_sharding = in_sharding  # timing loops / pre-sharded inputs)
         return run
 
     fwd = shard_map(
-        lambda params, x: spatial_scenenet_forward(model, params, x, space_axis),
+        lambda params, x: spatial_scenenet_forward(model, params, x, space_axis,
+                                                   inference=inference),
         mesh=mesh,
         in_specs=(P(), P("data", None, space_axis, None, None)),
         out_specs=P("data", None, space_axis, None, None),
@@ -85,6 +96,8 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None) -> Ca
         )
         return jit_fwd(params, x)
 
+    run.forward = jit_fwd
+    run.in_sharding = NamedSharding(mesh, P("data", None, space_axis, None, None))
     return run
 
 

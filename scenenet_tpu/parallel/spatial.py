@@ -30,6 +30,7 @@ def halo_conv3d(
     backend: str = "xla",
     activation: bool = False,
     interpret: bool | None = None,
+    scratch_dtype: str = "f32",
 ) -> jnp.ndarray:
     """SAME 3D conv on a Z-sharded (B, C, Z_local, X, Y) block.
 
@@ -67,10 +68,20 @@ def halo_conv3d(
     x_ext = jnp.concatenate(parts, axis=2) if len(parts) > 1 else x_local
 
     if backend == "pallas" and kernels.shape[:2] == (1, 1):
-        from scenenet_tpu.ops.pallas_conv import halo_stencil_conv
+        from scenenet_tpu.ops.pallas_conv import (
+            geneo_stencil_conv, halo_stencil_conv,
+        )
 
         if interpret is None:  # auto: interpret-mode off TPU (CPU-mesh tests)
             interpret = jax.default_backend() != "tpu"
+        if scratch_dtype == "bf16":
+            # inference-only route: forward stencil with a bf16 tap scratch
+            # (bit-exact for {0,1} occupancy shards), no VJP machinery
+            return geneo_stencil_conv(
+                x_ext.astype(jnp.float32), kernels[0, 0].astype(jnp.float32),
+                activation=activation, z_prepadded=True, interpret=interpret,
+                scratch_dtype="bf16",
+            )
         return halo_stencil_conv(
             x_ext.astype(jnp.float32), kernels[0, 0].astype(jnp.float32),
             activation, interpret,
@@ -98,12 +109,15 @@ def spatial_scenenet_forward(
     x_local: jnp.ndarray,
     axis_name: str = "space",
     interpret: bool | None = None,
+    inference: bool = False,
 ) -> jnp.ndarray:
     """SceneNet forward on a Z-sharded input block (inside shard_map).
 
     Kernel synthesis and the convex combination are tiny and replicated;
     only the conv touches the sharded grid. The model's ``backend`` field
     selects the local conv (XLA vs fused Pallas stencil + activation).
+    ``inference=True`` (pallas) uses the bf16-tap-scratch forward — see
+    :meth:`scenenet_tpu.models.SceneNet.apply`.
     """
     kernels = model.synthesize_kernels(params).astype(x_local.dtype)
     lams = model.effective_lambdas(params).astype(x_local.dtype)
@@ -112,4 +126,5 @@ def spatial_scenenet_forward(
         x_local, combined[None, None], axis_name,
         backend=getattr(model, "backend", "xla"),
         activation=True, interpret=interpret,
+        scratch_dtype="bf16" if inference else "f32",
     )
