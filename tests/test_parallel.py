@@ -95,6 +95,24 @@ class TestDPInference:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+    def test_dp_plus_spatial_pallas_bf16_inference(self, devices8):
+        """The inference route through the shard_map halo path with the
+        bf16 tap scratch (interpret on the CPU mesh): bit-exact vs the
+        unsharded XLA apply for {0,1} occupancy inputs."""
+        mesh = make_mesh((2, 4), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                      backend="pallas")
+        run = make_dp_inference_fn(net, mesh, space_axis="space",
+                                   inference=True)
+        net_ref, _ = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        rng = np.random.default_rng(5)
+        x = (rng.random((4, 1, 32, 16, 16)) > 0.9).astype(np.float32)
+        out = run(params, x)
+        ref = net_ref.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+
 class TestShardedTrainStep:
     def _criterion(self):
         return resolve_criterion("geneo_tversky")(
