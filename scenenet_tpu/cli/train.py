@@ -129,23 +129,28 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     from scenenet_tpu import native as _native
 
     native_loader = cfg.device_voxelization and _native.available()
-    if native_loader:
-        # C++ batch prep (npy read + center + pad in real threads): 2.2x
-        # the Python path per core, scales past the GIL. It does NOT
-        # compute host-exact bin indices, so the prep below must bin on
-        # device (use_indices=False).
-        from scenenet_tpu.data.loader import NativePointCloudLoader
 
-        train_loader = NativePointCloudLoader(
-            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            max_points=cfg.max_points, threads=cfg.num_workers,
-            drop_last=len(train_ds) >= cfg.batch_size)
-    else:
-        train_loader = VoxelLoader(train_ds, cfg.batch_size, shuffle=True,
-                                   num_workers=cfg.num_workers, seed=cfg.seed,
-                                   drop_last=len(train_ds) >= cfg.batch_size)
-    val_loader = VoxelLoader(val_ds, cfg.batch_size, num_workers=cfg.num_workers)
-    test_loader = VoxelLoader(test_ds, cfg.batch_size, num_workers=cfg.num_workers)
+    def make_loaders(batch_size):
+        if native_loader:
+            # C++ batch prep (npy read + center + pad in real threads):
+            # 2.2x the Python path per core, scales past the GIL. It does
+            # NOT compute host-exact bin indices, so the prep below must
+            # bin on device (use_indices=False).
+            from scenenet_tpu.data.loader import NativePointCloudLoader
+
+            train = NativePointCloudLoader(
+                train_ds, batch_size, shuffle=True, seed=cfg.seed,
+                max_points=cfg.max_points, threads=cfg.num_workers,
+                drop_last=len(train_ds) >= batch_size)
+        else:
+            train = VoxelLoader(train_ds, batch_size, shuffle=True,
+                                num_workers=cfg.num_workers, seed=cfg.seed,
+                                drop_last=len(train_ds) >= batch_size)
+        val = VoxelLoader(val_ds, batch_size, num_workers=cfg.num_workers)
+        test = VoxelLoader(test_ds, batch_size, num_workers=cfg.num_workers)
+        return train, val, test
+
+    train_loader, val_loader, test_loader = make_loaders(cfg.batch_size)
 
     tcfg = TrainConfig(
         max_epochs=cfg.max_epochs,
@@ -168,6 +173,80 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         batch_prep = make_device_voxelize_prep(cfg.voxel_grid_size,
                                                tuple(cfg.keep_labels),
                                                use_indices=not native_loader)
+
+    if getattr(cfg, "auto_scale_batch_size", False) and \
+            cfg.device_voxelization and cfg.model in ("scenenet", "quantile"):
+        # power-of-two probe of the largest batch that compiles + runs a
+        # real grads step (the reference's auto_scale_batch_size intent;
+        # its trainer.tune() is commented out, main.py:238-239)
+        import jax
+        import jax.numpy as jnp
+
+        from scenenet_tpu.train.tune import find_max_batch_size
+
+        def _probe(b):
+            pts = jnp.zeros((b, cfg.max_points, 3), jnp.float32)
+            labels = jnp.zeros((b, cfg.max_points), jnp.int32)
+            m = jnp.ones((b, cfg.max_points), bool)
+
+            def loss_fn(p):
+                x, y = batch_prep(pts, labels, m)
+                pred = model.apply(p, x)
+                return criterion(pred, y, model.cvx_coefficients(p),
+                                 model.geneo_params_flat(p),
+                                 model.last_lambda)
+
+            jax.block_until_ready(jax.grad(loss_fn)(params))
+
+        found = find_max_batch_size(_probe, start=cfg.batch_size)
+        if found != cfg.batch_size:
+            print(f"[auto_scale_batch_size] batch_size {cfg.batch_size} → "
+                  f"{found}")
+            cfg.batch_size = found
+            train_loader, val_loader, test_loader = make_loaders(found)
+
+    if getattr(cfg, "fast_dev_run", False):
+        # Lightning's fast_dev_run: 1 epoch over 1 batch per split — an
+        # integration smoke (reference declares it, main.py:229 commented)
+        class _OneBatch:
+            def __init__(self, loader):
+                self.loader = loader
+
+            def __iter__(self):
+                it = iter(self.loader)
+                try:
+                    yield next(it)
+                except StopIteration:
+                    return
+
+            def __len__(self):
+                return min(1, len(self.loader))
+
+        tcfg.max_epochs = 1
+        tcfg.early_stop_metric = None
+        train_loader = _OneBatch(train_loader)
+        val_loader = _OneBatch(val_loader)
+        test_loader = _OneBatch(test_loader)
+
+    if getattr(cfg, "auto_lr_find", False) and cfg.model in ("scenenet",
+                                                            "quantile"):
+        # the LR range test the reference's auto_lr_find intended
+        # (trainer.tune() is commented out there, main.py:238-239)
+        from scenenet_tpu.train.tune import lr_range_test
+
+        probe_batches = []
+        for batch in train_loader:
+            probe_batches.append(batch)
+            if len(probe_batches) >= 8:
+                break
+        if probe_batches:
+            suggested, _ = lr_range_test(
+                model, criterion, params, probe_batches,
+                optimizer=cfg.optimizer, batch_prep=batch_prep)
+            print(f"[auto_lr_find] suggested learning_rate={suggested:.3e} "
+                  f"(was {tcfg.learning_rate})")
+            tcfg.learning_rate = suggested
+
     if getattr(cfg, "constrained", "penalty") == "admm":
         from scenenet_tpu.train.admm import ADMMConfig, ADMMTrainer
 
@@ -175,7 +254,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         trainer = ADMMTrainer(model, criterion, acfg, batch_prep=batch_prep)
         final_params, best = trainer.fit(params, train_loader,
                                          val_loader if len(val_ds) else None)
-    elif cfg.device_cache and cfg.device_voxelization:
+    elif cfg.device_cache and cfg.device_voxelization and \
+            not getattr(cfg, "fast_dev_run", False):
         # HBM-resident dataset + one-lax.scan-dispatch epochs (see
         # benchmarks/RESULTS.md "Device-resident epoch training"):
         # "points" revoxelizes per batch (arbitrary-angle rotation aug),

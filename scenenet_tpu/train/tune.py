@@ -1,0 +1,125 @@
+"""Trainer tuning utilities: LR range test and batch-size probing.
+
+The reference *declares* ``auto_lr_find`` / ``auto_scale_batch_size`` in
+its config and passes them to ``pl.Trainer``, but the ``trainer.tune()``
+call that would act on them is commented out
+(``/root/reference/scripts/main.py:238-239``, config keys
+``defaults_config.yml:85-88``) — like its ``precision: 16``, the intent
+exists with no wiring. Here both are implemented:
+
+- :func:`lr_range_test` — the Leslie-Smith LR range test Lightning's
+  tuner runs: ramp the learning rate geometrically across a window,
+  record the (smoothed) loss, suggest the LR at the steepest descent.
+  One compile: the LR rides through ``optax.inject_hyperparams`` as a
+  device value, so every probe step reuses the same jitted program.
+- :func:`find_max_batch_size` — power-of-two probing of the largest
+  batch that compiles + executes (``RESOURCE_EXHAUSTED``-driven), the
+  ``auto_scale_batch_size="power"`` strategy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def lr_range_test(
+    model: Any,
+    criterion: Callable,
+    params: Any,
+    batches: Iterable[Tuple],
+    min_lr: float = 1e-5,
+    max_lr: float = 1.0,
+    steps: int = 30,
+    optimizer: str = "adam",
+    batch_prep: Optional[Callable] = None,
+    smooth_beta: float = 0.8,
+) -> Tuple[float, List[Tuple[float, float]]]:
+    """Suggest a learning rate: geometric LR ramp, steepest-descent pick.
+
+    Returns ``(suggested_lr, history)`` where history is a list of
+    ``(lr, smoothed_loss)``. ``batches`` is cycled if shorter than
+    ``steps``. The model/params are untouched (the test trains a throwaway
+    copy).
+    """
+    base = {"adam": optax.adam, "sgd": optax.sgd,
+            "rmsprop": optax.rmsprop}.get(optimizer)
+    if base is None:
+        raise NotImplementedError(f"lr_range_test: optimizer {optimizer!r}")
+    tx = optax.inject_hyperparams(base)(learning_rate=min_lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, y):
+        pred = model.apply(p, x)
+        cvx = model.cvx_coefficients(p) if hasattr(model, "cvx_coefficients") else {}
+        geneo = model.geneo_params_flat(p) if hasattr(model, "geneo_params_flat") else {}
+        last = getattr(model, "last_lambda", None)
+        return criterion(pred, y, cvx, geneo, last)
+
+    @jax.jit
+    def step(p, opt_state, lr, *batch):
+        x, y = batch_prep(*batch) if batch_prep else batch
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    batch_list = list(batches)
+    if not batch_list:
+        raise ValueError("lr_range_test needs at least one batch")
+    ratio = (max_lr / min_lr) ** (1.0 / max(steps - 1, 1))
+    lrs = [min_lr * ratio**i for i in range(steps)]
+
+    history: List[Tuple[float, float]] = []
+    smoothed = None
+    p = params
+    for i, lr in enumerate(lrs):
+        batch = tuple(jnp.asarray(b) for b in batch_list[i % len(batch_list)])
+        p, opt_state, loss = step(p, opt_state, jnp.asarray(lr, jnp.float32),
+                                  *batch)
+        loss = float(loss)
+        if not np.isfinite(loss):
+            break  # diverged — the useful range ends here
+        smoothed = loss if smoothed is None else \
+            smooth_beta * smoothed + (1 - smooth_beta) * loss
+        history.append((lr, smoothed))
+        if len(history) > 5 and smoothed > 4 * history[0][1]:
+            break  # early divergence guard (Lightning's tuner does the same)
+
+    if len(history) < 3:
+        return min_lr, history
+    # steepest negative slope of smoothed loss w.r.t. log(lr)
+    losses = np.array([h[1] for h in history])
+    grads = np.gradient(losses)
+    return float(history[int(np.argmin(grads))][0]), history
+
+
+def find_max_batch_size(
+    probe: Callable[[int], None],
+    start: int = 2,
+    max_batch: int = 4096,
+) -> int:
+    """Largest power-of-two batch for which ``probe(batch)`` succeeds.
+
+    ``probe`` should build + run one real step at the given batch size and
+    raise on failure (XLA surfaces device OOM as ``RESOURCE_EXHAUSTED`` /
+    ``XlaRuntimeError``). Doubles from ``start`` until failure or
+    ``max_batch``; returns the last good size. Raises if even ``start``
+    fails.
+    """
+    good = None
+    b = start
+    while b <= max_batch:
+        try:
+            probe(b)
+        except Exception:
+            break
+        good = b
+        b *= 2
+    if good is None:
+        raise RuntimeError(f"even batch={start} failed the probe")
+    return good

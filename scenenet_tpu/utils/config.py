@@ -55,6 +55,13 @@ class ExperimentConfig:
     # model
     model: str = "scenenet"  # "scenenet" | "quantile" | "cnn" | "unet"
     quantiles: Tuple[float, ...] = (0.1, 0.5, 0.9)  # model: quantile
+
+    # trainer dev/tune switches — the reference declares all three and
+    # wires none (fast_dev_run / trainer.tune() commented out,
+    # reference main.py:229,238-239); here they are implemented
+    fast_dev_run: bool = False      # 1 epoch × 1 batch integration smoke
+    auto_lr_find: bool = False      # LR range test → learning_rate
+    auto_scale_batch_size: bool = False  # power-of-two OOM probe
     # "auto" → pallas on TPU, xla elsewhere. The fused Pallas stencil is
     # 4.1× the XLA conv for the full train step (see benchmarks/RESULTS.md)
     model_backend: str = "auto"  # "auto" | "xla" | "pallas"
