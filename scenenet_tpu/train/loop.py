@@ -519,6 +519,54 @@ class Trainer:
 
         return self._run_scan_epochs(state, tx, run_epoch, key, val_loader)
 
+    def evaluate_cached(self, params: Any, grids: Any, batch_size: int = 16,
+                        prefix: str = "test") -> Dict[str, float]:
+        """One-dispatch evaluation from a
+        :class:`~scenenet_tpu.data.device_cache.DeviceGridCache`: the whole
+        pass — slices, forward, loss, confusion counts — is a single
+        ``lax.scan`` under jit (the cached twin of :meth:`evaluate`).
+        Samples beyond the last full batch are evaluated in one tail step.
+        """
+        assert not self._stateful, "evaluate_cached supports stateless models"
+        cfg = self.config
+        n = len(grids)
+        n_batches = n // batch_size
+
+        @jax.jit
+        def eval_all(params, xs, ys):
+            def body(carry, b):
+                mstate, loss_sum = carry
+                x = jax.lax.dynamic_slice_in_dim(
+                    xs, b * batch_size, batch_size).astype(jnp.float32)
+                y = jax.lax.dynamic_slice_in_dim(
+                    ys, b * batch_size, batch_size).astype(jnp.float32)
+                loss, (pred, _) = self._loss(params, x, y, None, train=False)
+                return (update_metrics(mstate, pred, y, cfg.tau),
+                        loss_sum + loss), None
+
+            init = (init_metric_state(), jnp.zeros(()))
+            (mstate, loss_sum), _ = jax.lax.scan(
+                body, init, jnp.arange(n_batches))
+            return mstate, loss_sum
+
+        mstate, loss_sum = eval_all(params, grids.x, grids.y)
+        losses = [loss_sum]
+        n_chunks = n_batches
+        tail = n - n_batches * batch_size
+        if tail:
+            x = grids.x[n - tail:].astype(jnp.float32)
+            y = grids.y[n - tail:].astype(jnp.float32)
+            loss, (pred, _) = self._loss(params, x, y, None, train=False)
+            mstate = update_metrics(mstate, pred, y, cfg.tau)
+            losses.append(loss)
+            n_chunks += 1
+        scores = {f"{prefix}_{k}": float(v) for k, v in
+                  compute_metrics(mstate, cfg.fbeta).items()}
+        scores[f"{prefix}_loss"] = float(
+            sum(float(l) for l in losses) / max(n_chunks, 1))
+        self.logger.log_metrics(scores, -1)
+        return scores
+
     def _run_scan_epochs(self, state, tx, run_epoch, key, val_loader):
         """Shared epoch loop for the device-cached fits: per-epoch host work
         is logging/checkpointing only; the epoch itself is one dispatch."""

@@ -516,3 +516,47 @@ class TestPermuteRows:
             want = jnp.take(a, order, axis=0)
             got = permute_rows(a, order)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestEvaluateCached:
+    def test_matches_host_evaluate(self, tmp_path):
+        """evaluate_cached (one scan over the grid cache, incl. a ragged
+        tail batch) reproduces evaluate() over the equivalent host
+        batches."""
+        import jax
+
+        from scenenet_tpu.data.device_cache import (
+            DeviceGridCache, DevicePointCache,
+        )
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        ds = TestFitGridCached._DS(7, seed=4)  # 7 samples, batch 2 → tail 1
+        cache = DevicePointCache(ds)
+        net, params, crit, cfg, prep = TestFitGridCached._setup(tmp_path, "e")
+        trainer = Trainer(net, crit, cfg, batch_prep=prep)
+        gcache = DeviceGridCache(cache, prep)
+
+        got = trainer.evaluate_cached(params, gcache, batch_size=2)
+
+        prep_j = jax.jit(prep)
+        batches = []
+        for s in range(0, 7, 2):
+            pts = jnp.stack([jnp.asarray(ds.samples[i][0])
+                             for i in range(s, min(s + 2, 7))])
+            lab = jnp.stack([jnp.asarray(ds.samples[i][1])
+                             for i in range(s, min(s + 2, 7))])
+            m = jnp.stack([jnp.asarray(ds.samples[i][2])
+                           for i in range(s, min(s + 2, 7))])
+            batches.append(prep_j(pts, lab, m))
+        # evaluate() applies batch_prep — feed it pre-voxelized grids via
+        # a prep-less twin trainer
+        trainer2 = Trainer(net, crit, cfg)
+        want = trainer2.evaluate(params, batches)
+
+        for k in ("test_F1Score", "test_Precision", "test_Recall",
+                  "test_JaccardIndex"):
+            assert got[k] == pytest.approx(want[k], abs=1e-6), k
+        # loss averages over per-scan chunks vs per-batch: both are means
+        # of the same per-batch losses up to grouping — compare loosely
+        assert got["test_loss"] == pytest.approx(want["test_loss"],
+                                                 rel=0.25)
