@@ -3,6 +3,7 @@ from scenenet_tpu.train.state import TrainState, create_train_state, resolve_opt
 from scenenet_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, CheckpointManager
 from scenenet_tpu.train.callbacks import EarlyStopping, BestMetricTracker
 from scenenet_tpu.train.loop import Trainer, TrainConfig, make_device_voxelize_prep
+from scenenet_tpu.train.tune import find_max_batch_size, lr_range_test
 
 __all__ = [
     "MetricState",
@@ -20,4 +21,6 @@ __all__ = [
     "Trainer",
     "TrainConfig",
     "make_device_voxelize_prep",
+    "find_max_batch_size",
+    "lr_range_test",
 ]
