@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-points", type=int, default=32768)
     ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--vxg", type=str, default=None,
+                    help="full (x,y,z) grid, e.g. '64,64,256' — the "
+                         "reference's KITTI voxel config "
+                         "(semKITTI.py:453: vxg (64,64,256))")
     ap.add_argument("--root", default="/tmp/kitti_bench")
     args = ap.parse_args()
 
@@ -69,6 +73,8 @@ def main():
     )
     from scenenet_tpu.data.transforms import PointPadding
 
+    grid = (tuple(int(v) for v in args.vxg.split(","))
+            if args.vxg else (args.grid,) * 3)
     crops_dir = os.path.join(args.root, "crops")
     t0 = time.perf_counter()
     n_crops = build_pole_radius_samples(args.root, crops_dir)
@@ -78,7 +84,7 @@ def main():
     ds = SemanticKITTICrops(
         crops_dir, split="samples",
         transform=PointPadding(max_points=args.max_points,
-                               vxg_size=(args.grid,) * 3,
+                               vxg_size=grid,
                                compute_indices=False))
 
     import jax
@@ -90,7 +96,6 @@ def main():
 
     net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0,
                                   backend="pallas")
-    grid = (args.grid,) * 3
 
     @jax.jit
     def eval_batch(params, mstate, pts, labels, mask):
