@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 GRID = (64, 64, 64)
-BATCH = 256
+BATCH = 512
 ITERS = 8
 MAX_POINTS = 81920
 FIXTURES = "/root/reference/data-sample"
