@@ -217,3 +217,26 @@ class TestInvariants:
             )
             assert k.shape == (9, 6, 6)
             assert np.isfinite(np.asarray(k)).all()
+
+
+class TestExtremeParams:
+    """Kernel synthesis must stay finite for zero, tiny, negative and huge
+    parameter values — penalties keep training in range, but a transient
+    step outside it must not poison the forward with NaNs."""
+
+    @pytest.mark.parametrize("mode", ["zero", "tiny", "negative", "huge"])
+    def test_all_kernels_finite(self, mode):
+        from scenenet_tpu.geneo.kernels import (
+            KERNEL_REGISTRY, random_geneo_params,
+        )
+
+        rng = np.random.default_rng(3)
+        sub = {"zero": 0.0, "tiny": 1e-8, "huge": 50.0}
+        for kind, kdef in KERNEL_REGISTRY.items():
+            p = random_geneo_params(kind, rng, (9, 6, 6))
+            for k in p:
+                p[k] = -abs(float(rng.random())) if mode == "negative" \
+                    else sub[mode]
+            ker = kdef.fn({k: jnp.asarray(v, jnp.float32)
+                           for k, v in p.items()}, (9, 6, 6))
+            assert bool(jnp.isfinite(ker).all()), (kind, mode)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from scenenet_tpu.ops import voxel_np as vnp
 
 
@@ -258,3 +260,37 @@ class TestGridOps:
         dev = np.asarray(vxg_to_xyz(jnp.asarray(vxg)))
         host = vnp.vxg_to_xyz_np(vxg)
         np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+class TestDegenerateInputs:
+    """Pathological clouds must not NaN or diverge from the f64 oracle:
+    single point, all-identical points (zero range), coplanar/collinear
+    clouds (zero range on some axes)."""
+
+    @pytest.mark.parametrize("name,pts", [
+        ("single-point", np.array([[1.0, 2.0, 3.0]], np.float32)),
+        ("all-identical", np.ones((100, 3), np.float32) * 7.5),
+        ("coplanar-z", np.column_stack([
+            np.random.default_rng(0).random(500),
+            np.random.default_rng(1).random(500),
+            np.full(500, 2.0)]).astype(np.float32)),
+        ("collinear", np.column_stack([
+            np.linspace(0, 9, 300), np.full(300, 1.0),
+            np.full(300, 2.0)]).astype(np.float32)),
+        ("two-points", np.array([[0., 0., 0.], [10., 10., 10.]], np.float32)),
+    ])
+    def test_oracle_parity_and_finite(self, name, pts):
+        from scenenet_tpu.ops import voxelize_fused
+        from scenenet_tpu.ops.voxel_np import hist_on_voxel_np, reg_on_voxel_np
+
+        grid = (16, 16, 16)
+        n = len(pts)
+        labels = np.random.default_rng(2).choice([1, 15], n).astype(np.int32)
+        hist_ref = hist_on_voxel_np(pts.astype(np.float64), grid)
+        reg_ref = reg_on_voxel_np(pts.astype(np.float64), labels, (15,), grid)
+        h, g = voxelize_fused(jnp.asarray(pts), jnp.asarray(labels),
+                              jnp.ones(n, bool), (15,), grid)
+        assert np.isfinite(np.asarray(h)).all()
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_array_equal(np.asarray(h) > 0, hist_ref > 0)
+        np.testing.assert_array_equal(np.asarray(g) > 0, reg_ref > 0)
