@@ -95,6 +95,18 @@ class TestArbitraryZ:
     """VERDICT #6: any Z ≥ 1 must work (internal slab padding, no silent
     fallback, no assert)."""
 
+    @pytest.mark.parametrize("shape", [(1, 1, 1, 16, 16),   # Z=1
+                                       (2, 1, 3, 5, 5),     # extents < kernel
+                                       (1, 1, 12, 3, 17)])  # tiny/odd xy
+    def test_extreme_extents(self, shape):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        k = jnp.asarray(rng.random((9, 5, 5)).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
     @pytest.mark.parametrize("z", [20, 100, 250])
     def test_non_slab_divisible_z(self, z):
         rng = np.random.default_rng(z)
