@@ -63,14 +63,17 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
     bf16-tap-scratch Pallas forward where the model backend allows it
     (bit-exact for {0,1} occupancy grids)."""
     if space_axis is None:
+        import inspect
+
         in_sharding = NamedSharding(mesh, P("data", None, None, None, None))
+        has_inference = "inference" in inspect.signature(
+            model.apply).parameters  # cnn/unet have no inference knob
 
         @jax.jit
         def forward(params, x):
-            try:
+            if has_inference:
                 return model.apply(params, x, inference=inference)
-            except TypeError:  # models without an inference knob (cnn/unet)
-                return model.apply(params, x)
+            return model.apply(params, x)
 
         def run(params, x):
             x = jax.device_put(jnp.asarray(x), in_sharding)
