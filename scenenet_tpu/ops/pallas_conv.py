@@ -19,8 +19,9 @@ against the XLA formulations):
   conv fallbacks for shapes the kernels don't cover.
 
 Measured on a v5e (batch 16-32, 64³, kernel (9,5,5)): forward 2.4 ms/32
-(13.5× the XLA conv), full train step 95 → 17.9 ms (see
-benchmarks/RESULTS.md).
+(13.5× the XLA conv), full train step 95 → 10.9 ms after the voxelizer
+work; 128³ train step 62.3 → 26.2 ms once `stencil_dk` streams from HBM
+(see benchmarks/RESULTS.md).
 """
 
 from __future__ import annotations
