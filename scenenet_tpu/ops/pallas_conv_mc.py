@@ -48,6 +48,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _mc_kernel_vmem(x_ref, w_ref, o_ref, patches, *, n_tile: int,
+                    cin_p: int, bases: Tuple[int, ...], n_tiles: int):
+    """Whole-volume-resident variant: one grid step per sample, tiles
+    looped in-kernel — no DMA and no per-tile grid-step overhead (the
+    measured limiter of the streamed variant at small volumes)."""
+    for j in range(n_tiles):
+        for t in range(27):
+            base, dy = bases[t]
+            patches[:, t * cin_p:(t + 1) * cin_p] = \
+                x_ref[0, pl.ds(j * n_tile + base + dy, n_tile), :]
+        o_ref[0, pl.ds(j * n_tile, n_tile), :] = lax.dot_general(
+            patches[...], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
 def _mc_kernel(x_hbm, w_ref, o_ref, *, n_tile: int, win: int, cin_p: int,
                bases: Tuple[int, ...]):
     i = pl.program_id(0)
@@ -125,6 +140,36 @@ def conv3d_mc_same(x: jnp.ndarray, w: jnp.ndarray,
     if cin_p != cin:
         wt = jnp.pad(wt, [(0, 0), (0, cin_p - cin), (0, 0)])
     w_arg = wt.reshape(27 * cin_p, cout)
+
+    flat_bytes = 4 * flat.shape[1] * cin_p
+    out_bytes = 4 * n_tiles * n_tile * cout
+    if flat_bytes + out_bytes <= 24 * 1024 * 1024:
+        # small volumes (deep UNet layers): whole sample resident in VMEM,
+        # tiles looped in-kernel — one grid step per sample
+        out = pl.pallas_call(
+            functools.partial(_mc_kernel_vmem, n_tile=n_tile, cin_p=cin_p,
+                              bases=bases, n_tiles=n_tiles),
+            out_shape=jax.ShapeDtypeStruct((b, n_tiles * n_tile, cout),
+                                           jnp.float32),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, flat.shape[1], cin_p), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_tiles * n_tile, cout),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((n_tile, 27 * cin_p), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(flat, w_arg.astype(jnp.float32))
+        out = out[:, :p_total].reshape(b, z, xx + 2, sx, cout)
+        out = out[:, :, :xx, :yy]
+        return out if channels_last else jnp.moveaxis(out, -1, 1)
 
     out = pl.pallas_call(
         functools.partial(_mc_kernel, n_tile=n_tile, win=win, cin_p=cin_p,
