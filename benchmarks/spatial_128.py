@@ -46,7 +46,8 @@ def main():
                                   kernel_size=(9, 7, 7), seed=0,
                                   backend=args.backend)
     run = make_dp_inference_fn(net, mesh,
-                               space_axis="space" if args.space > 1 else None)
+                               space_axis="space" if args.space > 1 else None,
+                               inference=True)  # occupancy input: bf16 taps bit-exact
 
     rng = np.random.default_rng(0)
     g = args.grid

@@ -240,12 +240,20 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             if len(probe_batches) >= 8:
                 break
         if probe_batches:
-            suggested, _ = lr_range_test(
-                model, criterion, params, probe_batches,
-                optimizer=cfg.optimizer, batch_prep=batch_prep)
-            print(f"[auto_lr_find] suggested learning_rate={suggested:.3e} "
-                  f"(was {tcfg.learning_rate})")
-            tcfg.learning_rate = suggested
+            try:
+                suggested, _ = lr_range_test(
+                    model, criterion, params, probe_batches,
+                    optimizer=cfg.optimizer, batch_prep=batch_prep)
+            except NotImplementedError as e:
+                # the tuner is an optional convenience: an optimizer it
+                # doesn't know (e.g. lbfgs) must not abort the run
+                # (ADVICE r2) — keep the configured learning rate
+                print(f"[auto_lr_find] skipped ({e}); keeping "
+                      f"learning_rate={tcfg.learning_rate}")
+            else:
+                print(f"[auto_lr_find] suggested learning_rate="
+                      f"{suggested:.3e} (was {tcfg.learning_rate})")
+                tcfg.learning_rate = suggested
 
     if getattr(cfg, "constrained", "penalty") == "admm":
         from scenenet_tpu.train.admm import ADMMConfig, ADMMTrainer

@@ -112,17 +112,33 @@ def load_reference(root: str = REFERENCE_ROOT) -> Optional[types.SimpleNamespace
         dice = importlib.import_module("core.criterions.dice_loss")
         focal = importlib.import_module("core.criterions.focal_loss")
         iou = importlib.import_module("core.criterions.iou_loss")
-        # NOT imported: core/criterions/quant_loss.py — its module-level
-        # `from scenenet_pipeline.torch_geneo...` targets a tree that does
-        # not exist in the reference (broken there; our quantile losses are
-        # covered by transcription tests instead)
+        # core/criterions/quant_loss.py imports from a
+        # ``scenenet_pipeline.torch_geneo.criterions`` tree that does not
+        # exist anywhere in the reference (quant_loss.py:9-10). The classes
+        # it wants — WeightedMSE (+HIST_PATH) and GENEO_Loss — are the very
+        # ones the reference ALSO ships at core/criterions/{w_mse,
+        # geneo_loss}.py, so aliasing those module paths makes quant_loss
+        # executable with true semantics (VERDICT r2 #3). NOTE the executed
+        # MRO consequences, asserted by tests/test_reference_oracle.py:
+        # QuantileLoss alone is constructor-broken (its super().__init__
+        # passes 6 positionals into WeightedMSE's 5), while
+        # QuantileGENEOLoss constructs fine because its MRO routes the same
+        # call through GENEO_Loss.__init__ (6 slots): alpha→weight_alpha,
+        # rho→weight_epsilon, epsilon→mse_weight, gamma→convex_weight.
+        for alias in ("scenenet_pipeline", "scenenet_pipeline.torch_geneo",
+                      "scenenet_pipeline.torch_geneo.criterions"):
+            sys.modules.setdefault(alias, types.ModuleType(alias))
+        sys.modules["scenenet_pipeline.torch_geneo.criterions.w_mse"] = w_mse
+        sys.modules["scenenet_pipeline.torch_geneo.criterions.geneo_loss"] = (
+            geneo_loss)
+        quant = importlib.import_module("core.criterions.quant_loss")
     finally:
         if added:
             sys.path.remove(root)
     _cache = types.SimpleNamespace(
         cylinder=cylinder, arrow=arrow, neg_sphere=neg_sphere,
         scene_net=scene_net, w_mse=w_mse, geneo_loss=geneo_loss,
-        tversky=tversky, dice=dice, focal=focal, iou=iou,
+        tversky=tversky, dice=dice, focal=focal, iou=iou, quant=quant,
         hist_pickle=os.path.join(root, "core/criterions/hist_estimation.pickle"),
     )
     return _cache

@@ -107,19 +107,35 @@ class DeviceGridCache:
                  load_batch: int = 64, store_dtype=jnp.uint8):
         n = len(cache)
         prep = jax.jit(batch_prep)
+        narrowing = jnp.issubdtype(jnp.dtype(store_dtype), jnp.integer)
 
         @jax.jit
         def build(pts, lab, m):
             x, y = prep(pts, lab, m)
-            return x.astype(store_dtype), y.astype(store_dtype)
+            xs, ys = x.astype(store_dtype), y.astype(store_dtype)
+            # uint8 storage must be lossless: a non-binarized batch_prep
+            # (density/fraction grids) would otherwise be silently
+            # truncated to mostly-zero grids (ADVICE r2). Round-trip check
+            # runs fused with the build — no extra passes over HBM.
+            exact = jnp.logical_and(
+                jnp.all(xs.astype(x.dtype) == x),
+                jnp.all(ys.astype(y.dtype) == y),
+            ) if narrowing else jnp.bool_(True)
+            return xs, ys, exact
 
-        xs, ys = [], []
+        xs, ys, exact = [], [], []
         for start in range(0, n, load_batch):
             end = min(start + load_batch, n)
-            x, y = build(cache.points[start:end], cache.labels[start:end],
-                         cache.mask[start:end])
+            x, y, ok = build(cache.points[start:end], cache.labels[start:end],
+                             cache.mask[start:end])
             xs.append(x)
             ys.append(y)
+            exact.append(ok)
+        if narrowing and not bool(jnp.stack(exact).all()):
+            raise ValueError(
+                f"batch_prep produces grids that do not survive "
+                f"{jnp.dtype(store_dtype).name} storage (non-binarized "
+                f"density/fraction pipeline?); use store_dtype=jnp.float32")
         self.x = jnp.concatenate(xs)
         self.y = jnp.concatenate(ys)
 

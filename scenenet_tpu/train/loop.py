@@ -550,20 +550,19 @@ class Trainer:
             return mstate, loss_sum
 
         mstate, loss_sum = eval_all(params, grids.x, grids.y)
-        losses = [loss_sum]
-        n_chunks = n_batches
+        # sample-weighted mean: the ragged tail batch (possibly 1 sample)
+        # must not weigh as much as a full batch (ADVICE r2)
+        weighted = float(loss_sum) * batch_size
         tail = n - n_batches * batch_size
         if tail:
             x = grids.x[n - tail:].astype(jnp.float32)
             y = grids.y[n - tail:].astype(jnp.float32)
             loss, (pred, _) = self._loss(params, x, y, None, train=False)
             mstate = update_metrics(mstate, pred, y, cfg.tau)
-            losses.append(loss)
-            n_chunks += 1
+            weighted += float(loss) * tail
         scores = {f"{prefix}_{k}": float(v) for k, v in
                   compute_metrics(mstate, cfg.fbeta).items()}
-        scores[f"{prefix}_loss"] = float(
-            sum(float(l) for l in losses) / max(n_chunks, 1))
+        scores[f"{prefix}_loss"] = weighted / max(n, 1)
         self.logger.log_metrics(scores, -1)
         return scores
 

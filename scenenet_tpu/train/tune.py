@@ -107,19 +107,34 @@ def find_max_batch_size(
 
     ``probe`` should build + run one real step at the given batch size and
     raise on failure (XLA surfaces device OOM as ``RESOURCE_EXHAUSTED`` /
-    ``XlaRuntimeError``). Doubles from ``start`` until failure or
+    ``XlaRuntimeError``). Doubles from ``start`` until OOM or
     ``max_batch``; returns the last good size. Raises if even ``start``
-    fails.
+    OOMs. Non-OOM failures (shape bugs, bad configs, criterion
+    mismatches) are re-raised — treating them as the memory ceiling would
+    silently cap the batch size (ADVICE r2).
     """
     good = None
     b = start
     while b <= max_batch:
         try:
             probe(b)
-        except Exception:
+        except Exception as e:  # pragma: no branch
+            if not _is_oom(e):
+                raise
             break
         good = b
         b *= 2
     if good is None:
-        raise RuntimeError(f"even batch={start} failed the probe")
+        raise RuntimeError(f"even batch={start} failed the probe with OOM")
     return good
+
+
+def _is_oom(e: Exception) -> bool:
+    """OOM-shaped: XLA RESOURCE_EXHAUSTED / allocation failures (any
+    platform's wording), or a stdlib MemoryError from host-side staging."""
+    if isinstance(e, MemoryError):
+        return True
+    msg = str(e).lower()
+    return any(s in msg for s in
+               ("resource_exhausted", "resource exhausted", "out of memory",
+                "failed to allocate", "allocation failure", "hbm"))

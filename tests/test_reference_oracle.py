@@ -328,3 +328,121 @@ class TestQuantileGolden:
         mine = np.asarray(model.apply(stacked, jnp.asarray(x)))
         assert mine.shape == theirs.shape == (1, 3, 24, 24, 24)
         np.testing.assert_allclose(mine, theirs, atol=5e-5, rtol=1e-4)
+
+
+class TestQuantileLossGolden:
+    """The quantile criterion family vs the REAL ``core/criterions/
+    quant_loss.py``, executable since :mod:`reference_oracle` aliases its
+    phantom ``scenenet_pipeline.torch_geneo.criterions`` imports
+    (quant_loss.py:9-10) to the reference's own shipped w_mse/geneo_loss
+    modules (VERDICT r2 #3 — the last transcription-only loss family).
+
+    Executed truths these tests pin down:
+
+    - ``QuantileLoss`` alone is constructor-broken: its ``super().__init__``
+      (quant_loss.py:53) passes 6 positionals into WeightedMSE's 5
+      parameter slots → TypeError, under ANY resolution of the phantom
+      import to the classes the reference ships.
+    - ``QuantileGENEOLoss`` constructs: its MRO routes the same call
+      through GENEO_Loss.__init__ (6 slots, geneo_loss.py:31), with the
+      positional mapping alpha→weight_alpha, rho→weight_epsilon,
+      epsilon→mse_weight, gamma→convex_weight.
+    - ``quantile_loss`` (quant_loss.py:74-90) REQUIRES a (B,1,…) GT: its
+      dead first ``data_fidelity(y_pred, y_gt)`` broadcasts the full
+      (B,Q,…) pred against GT and raises for a clean (B,…) GT; and for
+      B>1 the loop's ``y_gt(B,1,…) − y_pred[:,i](B,…)`` broadcast couples
+      every sample with every other ((B,B,…) — a cross-batch bug). At
+      B=1 the intended per-sample pinball semantics execute exactly.
+    """
+
+    def _ref_qgl(self, gamma=5.0):
+        return ref.quant.QuantileGENEOLoss(
+            None, qs=torch.tensor([0.1, 0.5, 0.9]),
+            hist_path=ref.hist_pickle, alpha=1, rho=0.1, epsilon=1,
+            gamma=gamma)
+
+    def test_quantile_loss_constructor_broken(self):
+        with pytest.raises(TypeError):
+            ref.quant.QuantileLoss(torch.rand(4, 1, 8, 8, 8), hist_path=None)
+
+    def test_clean_gt_shape_raises_in_reference(self):
+        q = self._ref_qgl()
+        pred = torch.rand(2, 3, 8, 8, 8, dtype=torch.double)
+        gt = (torch.rand(2, 8, 8, 8, dtype=torch.double) > 0.9).double()
+        with pytest.raises(RuntimeError):
+            ref.quant.QuantileLoss.forward(q, pred, gt)
+
+    def test_pinball_matches_reference_b1(self):
+        """B=1: the reference's executed semantics ARE the intended
+        per-sample pinball; ours must match to float tolerance."""
+        from scenenet_tpu.losses import QuantileLoss
+
+        q = self._ref_qgl()
+        rng = np.random.default_rng(7)
+        pred = rng.random((1, 3, 8, 8, 8))
+        gt = (rng.random((1, 1, 8, 8, 8)) > 0.9).astype(np.float64)
+        t = ref.quant.QuantileLoss.forward(
+            q, torch.tensor(pred), torch.tensor(gt)).item()
+        ours = QuantileLoss.create(weight_alpha=1, weight_epsilon=0.1)
+        o = float(ours(jnp.asarray(pred, jnp.float32),
+                       jnp.asarray(gt, jnp.float32)))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    def test_batch_equals_reference_pieces_per_sample(self):
+        """For B>1 the reference cross-couples samples ((B,B,…) pinball).
+        Our batch semantics = batch ``get_weight_target`` (executed
+        reference code) × per-sample ``quantile_loss`` (executed at B=1,
+        where it is quirk-free), averaged — the straight de-coupling of
+        its B=1 behavior."""
+        from scenenet_tpu.losses import QuantileLoss
+
+        q = self._ref_qgl()
+        rng = np.random.default_rng(8)
+        pred = rng.random((4, 3, 8, 8, 8))
+        gt = (rng.random((4, 1, 8, 8, 8)) > 0.9).astype(np.float64)
+        # documented quirk: full-batch reference pinball couples samples
+        quirk = q.quantile_loss(torch.tensor(pred), torch.tensor(gt))
+        assert quirk.shape == (4, 4, 8, 8, 8)
+        weights = q.get_weight_target(torch.tensor(gt))  # (4,1,8,8,8)
+        qloss = torch.cat([
+            q.quantile_loss(torch.tensor(pred[i:i + 1]),
+                            torch.tensor(gt[i:i + 1]))
+            for i in range(4)
+        ])  # (4,1,8,8,8), each row quirk-free
+        t = torch.mean(weights * qloss).item()
+        ours = QuantileLoss.create(weight_alpha=1, weight_epsilon=0.1)
+        o = float(ours(jnp.asarray(pred, jnp.float32),
+                       jnp.asarray(gt, jnp.float32)))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
+
+    def test_quantile_geneo_full_matches_reference(self):
+        """Full QuantileGENEOLoss (pinball + WMSE weighting + cvx/positivity
+        penalties over per-member param-dict LISTS, quant_loss.py:109-142)
+        vs the real class, params from a QuantileSceneNet ensemble."""
+        from scenenet_tpu.losses import QuantileGENEOLoss
+        from scenenet_tpu.models import QuantileSceneNet
+
+        model, stacked = QuantileSceneNet.create(
+            {"cy": 1, "cone": 1, "neg": 1}, kernel_size=(9, 5, 5),
+            quantiles=(0.1, 0.5, 0.9), seed=5)
+        cvx_l, geneo_l, cvx_tl, geneo_tl = [], [], [], []
+        for i in range(3):
+            member = jax.tree.map(lambda a: a[i], stacked)
+            cvx, geneo, cvx_t, geneo_t = _torch_param_dicts(model.net, member)
+            cvx_l.append(cvx)
+            geneo_l.append(geneo)
+            cvx_tl.append(cvx_t)
+            geneo_tl.append(geneo_t)
+
+        q = self._ref_qgl(gamma=5.0)
+        rng = np.random.default_rng(9)
+        pred = rng.random((1, 3, 8, 8, 8))
+        gt = (rng.random((1, 1, 8, 8, 8)) > 0.9).astype(np.float64)
+        t = q(torch.tensor(pred), torch.tensor(gt), cvx_tl, geneo_tl).item()
+
+        ours = QuantileGENEOLoss.create(
+            weight_alpha=1, weight_epsilon=0.1, convex_weight=5.0)
+        o = float(ours(jnp.asarray(pred, jnp.float32),
+                       jnp.asarray(gt, jnp.float32), cvx_l, geneo_l,
+                       model.net.last_lambda))
+        np.testing.assert_allclose(o, t, rtol=1e-4)
