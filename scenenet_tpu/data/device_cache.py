@@ -41,14 +41,15 @@ def rotate_z_batch(points: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
 
 
 def permute_rows(a: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
-    """Row permutation that dodges the TPU's slow sub-32-bit gather.
+    """Row gather that dodges the TPU's slow sub-32-bit gather.
 
     XLA lowers a uint8 row gather ~60× slower than the same gather at
     32-bit width (measured on a v5e: 3.7 s vs 62 ms to permute two
     2000×256 KB arrays — the uint8 path gathers element-wise). When the
     per-row byte count is 4-aligned, bitcast groups of narrow lanes into
     int32, gather at 32-bit width, and bitcast back: bit-exact for any
-    payload, since the gather only moves bytes."""
+    payload, since the gather only moves bytes. ``order`` may be any
+    index vector — a full permutation or a subset (chunked epochs)."""
     if a.dtype.itemsize >= 4:
         return jnp.take(a, order, axis=0)
     shape = a.shape
@@ -62,7 +63,8 @@ def permute_rows(a: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     packed = jax.lax.bitcast_convert_type(
         a.reshape(n, row // per32, per32), jnp.int32)
     out = jnp.take(packed, order, axis=0)
-    return jax.lax.bitcast_convert_type(out, a.dtype).reshape(shape)
+    return jax.lax.bitcast_convert_type(out, a.dtype).reshape(
+        (order.shape[0],) + shape[1:])
 
 
 def d4_transform_grids(grid: jnp.ndarray, transpose: jnp.ndarray,

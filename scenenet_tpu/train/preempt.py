@@ -32,6 +32,20 @@ from scenenet_tpu.train.metrics import MetricState, init_metric_state
 SNAPSHOT_NAME = "preempt.npz"
 
 
+_preemption_requested = False
+
+
+def request_preemption() -> None:
+    """Programmatic preemption notice: the running fit flushes a snapshot
+    and returns at its next batch/chunk boundary, exactly as for SIGTERM.
+
+    For preemption signals that do NOT arrive as SIGTERM — e.g. a thread
+    watching the GCE metadata server's maintenance-event endpoint — and
+    for deterministic tests. Cleared when the guarded fit exits."""
+    global _preemption_requested
+    _preemption_requested = True
+
+
 class PreemptionGuard:
     """Context manager that latches termination signals during a fit.
 
@@ -41,18 +55,23 @@ class PreemptionGuard:
     one chunk's wall time). Nesting-safe: previous handlers are restored
     on exit. ``signals`` defaults to SIGTERM only; SIGINT stays on the
     default KeyboardInterrupt so interactive ^C still aborts hard.
+    ``triggered`` also honors :func:`request_preemption`.
     """
 
     def __init__(self, signals=(signal.SIGTERM,)):
         self.signals = tuple(signals)
-        self.triggered = False
+        self._latched = False
         self._previous: Dict[int, Any] = {}
 
+    @property
+    def triggered(self) -> bool:
+        return self._latched or _preemption_requested
+
     def _handler(self, signum, frame):  # pragma: no cover - trivial
-        self.triggered = True
+        self._latched = True
 
     def __enter__(self) -> "PreemptionGuard":
-        self.triggered = False
+        self._latched = False
         for s in self.signals:
             try:
                 self._previous[s] = signal.signal(s, self._handler)
@@ -61,6 +80,8 @@ class PreemptionGuard:
         return self
 
     def __exit__(self, *exc) -> None:
+        global _preemption_requested
+        _preemption_requested = False
         for s, old in self._previous.items():
             signal.signal(s, old)
         self._previous.clear()

@@ -49,8 +49,9 @@ class ExperimentConfig:
     # conv/loss/optimizer work with grid-space D4 augmentation
     # (Trainer.fit_grid_cached). Requires device_voxelization and a
     # dataset that fits device memory.
-    device_cache: Any = False  # False | True | "points" | "grids"
-    augment: bool = True  # on-device augmentation (device_cache paths)
+    device_cache: Any = "auto"  # "auto" | False | True | "points" | "grids"
+    augment: bool = False  # on-device augmentation (device_cache paths);
+    # default False = reference parity (its pipeline does not augment)
 
     # model
     model: str = "scenenet"  # "scenenet" | "quantile" | "cnn" | "unet"
@@ -106,6 +107,12 @@ class ExperimentConfig:
     checkpoint_top_k: int = 2
     resume_from_checkpoint: bool = False
     resume_checkpoint_name: str = "last"
+    # preemption safety (VERDICT r2 #5): K dispatches per cached epoch
+    # (≤1/K of an epoch lost to SIGTERM), optional periodic full snapshots,
+    # and automatic pickup of a preemption snapshot on relaunch
+    epoch_chunks: int = 1
+    checkpoint_every_n_steps: int = 0
+    resume_preempted: bool = True
 
     # parallel
     mesh_data: int = 1

@@ -154,3 +154,37 @@ class TestSetOverrides:
         parser.add_argument("--set", action="extend", nargs="*", default=[])
         ns = parser.parse_args(["--set", "a=1", "--set", "b=2", "--set", "c=3", "d=4"])
         assert ns.set == ["a=1", "b=2", "c=3", "d=4"]
+
+
+class TestDeviceCacheAuto:
+    """VERDICT r2 #7: device_cache 'auto' picks the measured-best
+    applicable pipeline and logs the decision."""
+
+    def test_decisions(self, capsys):
+        from scenenet_tpu.cli.train import _resolve_device_cache_auto
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        # stock config (no augmentation) → grid cache (fastest measured)
+        assert _resolve_device_cache_auto(
+            ExperimentConfig(data_path="x"), 2000) == "grids"
+        # point-space augmentation requested → point cache (keeps
+        # arbitrary-angle rotations)
+        assert _resolve_device_cache_auto(
+            ExperimentConfig(data_path="x", augment=True), 2000) == "points"
+        # nothing fits the HBM budget → streaming loader
+        assert _resolve_device_cache_auto(
+            ExperimentConfig(data_path="x", voxel_grid_size=(256, 256, 256)),
+            500_000) is False
+        # host-voxelization path → no device cache
+        assert _resolve_device_cache_auto(
+            ExperimentConfig(data_path="x", device_voxelization=False),
+            100) is False
+        out = capsys.readouterr().out
+        assert "[device_cache auto]" in out
+
+    def test_stock_default_is_auto(self):
+        from scenenet_tpu.utils.config import load_config
+
+        cfg = load_config("experiments/defaults.yaml")
+        assert cfg.device_cache == "auto"
+        assert cfg.augment is False  # reference parity: no augmentation
