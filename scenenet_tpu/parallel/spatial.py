@@ -1,4 +1,4 @@
-"""Spatially-sharded 3D convolution with halo exchange.
+"""Spatially-sharded 3D convolution with overlapped halo exchange.
 
 For voxel grids too large for one chip (128³+, BASELINE.json config 5) the
 grid's Z axis is sharded over the mesh's ``space`` axis. A SAME-padded
@@ -8,13 +8,32 @@ the neighboring shards — exchanged with ``lax.ppermute`` over ICI inside a
 attention; SURVEY.md §5.7). Devices at the grid boundary receive zeros from
 ``ppermute`` (no source feeds them), which is exactly SAME zero padding.
 
+**Overlap** (VERDICT r2 #1): the serial formulation — permute → concat →
+conv — forces the whole conv to wait on the wire. Here the output is split
+by halo dependence instead:
+
+- the *interior* output planes (all but the first ``lo`` and last ``hi``)
+  read only local input planes, so their conv consumes ``x_local``
+  directly and has NO data dependence on the permutes — XLA's async
+  collectives (collective-permute-start/done) + latency-hiding scheduler
+  can run the ICI transfer concurrently with this, the bulk of the FLOPs;
+- the ``lo`` top / ``hi`` bottom *boundary* planes are two thin convs over
+  [received halo ‖ 2·halo-deep local slab], issued after the permutes.
+
+Same total conv FLOPs (VALID-z work scales with output planes: lo +
+(Z_local−lo−hi) + hi = Z_local), identical results (tested exactly vs the
+serial path and the unsharded conv on the 8-CPU mesh), but the wire time
+hides behind ~Z_local/(lo+hi) × the boundary work. See
+``benchmarks/RESULTS.md`` ("Spatial sharding: projected v5e-8 scaling")
+for the measured per-shard times + ICI model.
+
 These functions run *inside* shard_map (per-shard views); wrappers that
 build the shard_map live in :mod:`scenenet_tpu.parallel.dp`.
 """
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,50 +42,16 @@ from jax import lax
 from scenenet_tpu.ops.conv3d import _DIMENSION_NUMBERS
 
 
-def halo_conv3d(
-    x_local: jnp.ndarray,
+def _valid_z_conv(
+    x_ext: jnp.ndarray,
     kernels: jnp.ndarray,
-    axis_name: str = "space",
-    backend: str = "xla",
-    activation: bool = False,
-    interpret: bool | None = None,
-    scratch_dtype: str = "f32",
+    backend: str,
+    activation: bool,
+    interpret: Optional[bool],
+    scratch_dtype: str,
 ) -> jnp.ndarray:
-    """SAME 3D conv on a Z-sharded (B, C, Z_local, X, Y) block.
-
-    Exchanges halos with the ± neighbors along ``axis_name`` and runs the
-    local conv with VALID z (halo already concatenated, boundary zeros from
-    ppermute) and SAME x/y padding. Output keeps the local Z extent, so the
-    concatenation of outputs over the axis equals the unsharded SAME conv.
-
-    ``backend="pallas"`` routes the single-channel local conv through the
-    fused Pallas stencil (HBM-streamed for 128³+ shards — the BASELINE
-    config-5 shape; 3.3× the XLA conv single-chip), optionally fusing the
-    relu∘tanh head (``activation=True``). ``interpret=True`` runs the
-    Pallas kernel in interpret mode (CPU-mesh tests).
-    """
-    k_z, k_x, k_y = kernels.shape[2:]
-    lo = (k_z - 1) // 2  # planes needed from the z-below neighbor
-    hi = k_z // 2        # planes needed from the z-above neighbor
-    n = lax.axis_size(axis_name)
-
-    parts = []
-    if lo > 0:
-        # my top `lo` planes → next device's lower halo
-        below = lax.ppermute(
-            x_local[:, :, -lo:], axis_name,
-            [(i, i + 1) for i in range(n - 1)],
-        )
-        parts.append(below)
-    parts.append(x_local)
-    if hi > 0:
-        above = lax.ppermute(
-            x_local[:, :, :hi], axis_name,
-            [(i + 1, i) for i in range(n - 1)],
-        )
-        parts.append(above)
-    x_ext = jnp.concatenate(parts, axis=2) if len(parts) > 1 else x_local
-
+    """VALID-z / SAME-x/y conv of an (already z-extended) block — the
+    per-piece primitive shared by the serial and overlapped paths."""
     if backend == "pallas" and kernels.shape[:2] == (1, 1):
         from scenenet_tpu.ops.pallas_conv import (
             geneo_stencil_conv, halo_stencil_conv,
@@ -87,6 +72,7 @@ def halo_conv3d(
             activation, interpret,
         )
 
+    k_x, k_y = kernels.shape[3:]
     pads = [
         (0, 0),  # z: VALID — halos supplied explicitly
         ((k_x - 1) // 2, k_x // 2),
@@ -103,6 +89,85 @@ def halo_conv3d(
     return jax.nn.relu(jnp.tanh(conv)) if activation else conv
 
 
+def halo_conv3d(
+    x_local: jnp.ndarray,
+    kernels: jnp.ndarray,
+    axis_name: str = "space",
+    backend: str = "xla",
+    activation: bool = False,
+    interpret: bool | None = None,
+    scratch_dtype: str = "f32",
+    overlap: bool = True,
+) -> jnp.ndarray:
+    """SAME 3D conv on a Z-sharded (B, C, Z_local, X, Y) block.
+
+    Exchanges halos with the ± neighbors along ``axis_name`` and convolves
+    with VALID z (boundary zeros come from ``ppermute``'s zero-fill) and
+    SAME x/y padding. Output keeps the local Z extent, so the concatenation
+    of outputs over the axis equals the unsharded SAME conv.
+
+    ``overlap=True`` (default) issues the interior conv — which needs no
+    halo — before consuming the permute results, letting XLA overlap the
+    ICI transfer with the bulk of the compute (module docstring). Falls
+    back to the serial permute→concat→conv when the shard is too thin
+    (Z_local ≤ k_z−1, where there is no interior).
+
+    ``backend="pallas"`` routes the single-channel local conv through the
+    fused Pallas stencil (HBM-streamed for 128³+ shards — the BASELINE
+    config-5 shape; 3.3× the XLA conv single-chip), optionally fusing the
+    relu∘tanh head (``activation=True``). ``interpret=True`` runs the
+    Pallas kernel in interpret mode (CPU-mesh tests).
+    """
+    k_z = kernels.shape[2]
+    lo = (k_z - 1) // 2  # planes needed from the z-below neighbor
+    hi = k_z // 2        # planes needed from the z-above neighbor
+    n = lax.axis_size(axis_name)
+    z_local = x_local.shape[2]
+
+    def recv_below():
+        # my top `lo` planes → next device's lower halo
+        return lax.ppermute(x_local[:, :, -lo:], axis_name,
+                            [(i, i + 1) for i in range(n - 1)])
+
+    def recv_above():
+        return lax.ppermute(x_local[:, :, :hi], axis_name,
+                            [(i + 1, i) for i in range(n - 1)])
+
+    if lo + hi == 0:
+        return _valid_z_conv(x_local, kernels, backend, activation,
+                             interpret, scratch_dtype)
+
+    if not overlap or z_local <= lo + hi:
+        # serial reference path: permute → concat → one conv
+        parts = []
+        if lo > 0:
+            parts.append(recv_below())
+        parts.append(x_local)
+        if hi > 0:
+            parts.append(recv_above())
+        x_ext = jnp.concatenate(parts, axis=2)
+        return _valid_z_conv(x_ext, kernels, backend, activation,
+                             interpret, scratch_dtype)
+
+    below = recv_below() if lo > 0 else None
+    above = recv_above() if hi > 0 else None
+    # interior: depends ONLY on x_local — schedulable during the permutes
+    interior = _valid_z_conv(x_local, kernels, backend, activation,
+                             interpret, scratch_dtype)
+    pieces = []
+    if lo > 0:
+        top_in = jnp.concatenate([below, x_local[:, :, :lo + hi]], axis=2)
+        pieces.append(_valid_z_conv(top_in, kernels, backend, activation,
+                                    interpret, scratch_dtype))
+    pieces.append(interior)
+    if hi > 0:
+        bot_in = jnp.concatenate(
+            [x_local[:, :, z_local - (lo + hi):], above], axis=2)
+        pieces.append(_valid_z_conv(bot_in, kernels, backend, activation,
+                                    interpret, scratch_dtype))
+    return jnp.concatenate(pieces, axis=2)
+
+
 def spatial_scenenet_forward(
     model,
     params: Mapping,
@@ -110,6 +175,7 @@ def spatial_scenenet_forward(
     axis_name: str = "space",
     interpret: bool | None = None,
     inference: bool = False,
+    overlap: bool = True,
 ) -> jnp.ndarray:
     """SceneNet forward on a Z-sharded input block (inside shard_map).
 
@@ -127,4 +193,5 @@ def spatial_scenenet_forward(
         backend=getattr(model, "backend", "xla"),
         activation=True, interpret=interpret,
         scratch_dtype="bf16" if inference else "f32",
+        overlap=overlap,
     )

@@ -226,3 +226,80 @@ class TestPallasHalo:
             assert int(new_state.step) == 1
         assert np.isfinite(losses["pallas"])
         np.testing.assert_allclose(losses["pallas"], losses["xla"], rtol=1e-5)
+
+
+class TestOverlappedHalo:
+    """VERDICT r2 #1a: the overlapped halo formulation (interior conv
+    independent of the in-flight ppermutes + thin boundary convs) must be
+    exact vs both the serial path and the unsharded conv — forward and
+    through the sharded train step's gradients."""
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    @pytest.mark.parametrize("kz", [3, 8, 9])
+    def test_overlap_matches_serial_and_unsharded(self, devices8, backend, kz):
+        mesh = make_mesh((1, 4), devices=devices8[:4])
+        rng = np.random.default_rng(7)
+        # Z_local = 16 > k_z − 1 for every kz here → overlap path active
+        x = rng.random((2, 1, 64, 8, 8)).astype(np.float32)
+        kernels = rng.random((1, 1, kz, 5, 5)).astype(np.float32)
+
+        def run(overlap):
+            fn = shard_map(
+                lambda xs: halo_conv3d(xs, jnp.asarray(kernels), "space",
+                                       backend=backend, overlap=overlap),
+                mesh=mesh,
+                in_specs=P(None, None, "space", None, None),
+                out_specs=P(None, None, "space", None, None),
+                check_vma=False,
+            )
+            xs = jax.device_put(jnp.asarray(x), NamedSharding(
+                mesh, P(None, None, "space", None, None)))
+            return np.asarray(fn(xs))
+
+        serial, fast = run(False), run(True)
+        ref = np.asarray(conv3d_same(jnp.asarray(x), jnp.asarray(kernels)))
+        np.testing.assert_allclose(fast, serial, atol=1e-6)
+        # vs the XLA reference: accumulation-order noise only (the pallas
+        # stencil sums taps in a different order; values reach ~27 here)
+        np.testing.assert_allclose(fast, ref, rtol=2e-5, atol=1e-5)
+
+    def test_overlap_scenenet_forward_and_grads_match(self, devices8):
+        """Sharded forward + loss gradient with the overlap path active
+        (Z_local=16 > 8) vs the single-device reference."""
+        mesh = make_mesh((1, 4), devices=devices8[:4])
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("mse")()
+        rng = np.random.default_rng(8)
+        x = (rng.random((2, 1, 64, 12, 12)) > 0.9).astype(np.float32)
+        y = (rng.random((2, 1, 64, 12, 12)) > 0.97).astype(np.float32)
+
+        crit_dist = make_distributed(crit, ("space",))
+
+        def sharded_loss(p, xs, ys):
+            fn = shard_map(
+                lambda p, xs, ys: crit_dist(
+                    spatial_scenenet_forward(net, p, xs, "space"), ys, {}, {}, None),
+                mesh=mesh,
+                in_specs=(P(), P(None, None, "space", None, None),
+                          P(None, None, "space", None, None)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            return fn(p, xs, ys)
+
+        sharding = NamedSharding(mesh, P(None, None, "space", None, None))
+        xs = jax.device_put(jnp.asarray(x), sharding)
+        ys = jax.device_put(jnp.asarray(y), sharding)
+        loss_s, grads_s = jax.value_and_grad(sharded_loss)(params, xs, ys)
+
+        def ref_loss(p):
+            return crit(net.apply(p, jnp.asarray(x)), jnp.asarray(y),
+                        {}, {}, None)
+
+        loss_r, grads_r = jax.value_and_grad(ref_loss)(params)
+        # distributed mean = psum of shard partials: f32 reduction-order
+        # noise only (same budget as TestShardedTrainStep's loss match)
+        np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=3e-4)
+        for a, b in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=1e-5)
