@@ -105,3 +105,102 @@ class CheckpointManager:
     def best_score(self, metric: str) -> Optional[float]:
         ranked = self.best.get(metric)
         return ranked[0][0] if ranked else None
+
+
+# ---- multi-process sharded checkpoints (VERDICT r2 #6) ---------------------
+
+def save_checkpoint_sharded(path_prefix: str, tree: Any,
+                            metadata: Optional[Dict] = None) -> str:
+    """Save a pytree whose leaves may be multi-process **sharded**
+    ``jax.Array``s — each process writes ONLY its addressable shards, no
+    gather, no replication (the production checkpoint path for states too
+    large for one host).
+
+    Layout: ``{path_prefix}.proc{K}.npz`` per process, entries keyed
+    ``<tree-path>@<local shard ordinal>`` with the shard's global index
+    recorded in a JSON sidecar for verification; process 0 also writes
+    ``{path_prefix}.meta.json`` (tree paths, global shapes, process
+    count, user metadata). Restore with :func:`restore_checkpoint_sharded`
+    under the SAME mesh + process layout (ordinals are matched on the
+    sorted-by-device-id order of each leaf's addressable shards, which is
+    deterministic for a fixed mesh).
+    """
+    import jax
+
+    pid = jax.process_index()
+    flat: Dict[str, np.ndarray] = {}
+    index_meta: Dict[str, Any] = {}
+    shapes: Dict[str, Any] = {}
+    for path_keys, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path_keys
+        )
+        shapes[key] = list(np.shape(leaf))
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "addressable_shards"):
+            shards = sorted(leaf.addressable_shards, key=lambda s: s.device.id)
+            for ordinal, s in enumerate(shards):
+                flat[f"{key}@{ordinal}"] = np.asarray(s.data)
+                index_meta[f"{key}@{ordinal}"] = [
+                    [sl.start, sl.stop] for sl in s.index]
+        else:  # host numpy / scalar leaf: replicated, every file carries it
+            flat[f"{key}@r"] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    np.savez(f"{path_prefix}.proc{pid}.npz", **flat)
+    with open(f"{path_prefix}.proc{pid}.index.json", "w") as f:
+        json.dump(index_meta, f)
+    if pid == 0:
+        with open(f"{path_prefix}.meta.json", "w") as f:
+            json.dump({"process_count": jax.process_count(),
+                       "shapes": shapes, "metadata": metadata or {}}, f,
+                      default=float)
+    return f"{path_prefix}.proc{pid}.npz"
+
+
+def restore_checkpoint_sharded(path_prefix: str, template: Any) -> Any:
+    """Inverse of :func:`save_checkpoint_sharded`.
+
+    ``template`` supplies structure + per-leaf target shardings: each leaf
+    must be a ``jax.Array`` placed as the checkpointed one was (same mesh,
+    same process layout). Each process reads only its own file and
+    reassembles leaves with ``jax.make_array_from_single_device_arrays``.
+    """
+    import jax
+
+    pid = jax.process_index()
+    with open(f"{path_prefix}.meta.json") as f:
+        meta = json.load(f)
+    if meta["process_count"] != jax.process_count():
+        raise ValueError(
+            f"checkpoint written by {meta['process_count']} processes, "
+            f"restoring under {jax.process_count()}")
+    data = np.load(f"{path_prefix}.proc{pid}.npz")
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out = []
+    for path_keys, leaf in leaves_with_path:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path_keys
+        )
+        if f"{key}@r" in data:
+            out.append(np.asarray(data[f"{key}@r"],
+                                  dtype=np.asarray(leaf).dtype))
+            continue
+        if not (isinstance(leaf, jax.Array) and hasattr(leaf, "sharding")):
+            raise KeyError(f"checkpoint has sharded entries for {key!r} but "
+                           f"the template leaf carries no sharding")
+        shards = sorted(leaf.addressable_shards, key=lambda s: s.device.id)
+        singles = []
+        for ordinal, s in enumerate(shards):
+            entry = f"{key}@{ordinal}"
+            if entry not in data:
+                raise KeyError(f"checkpoint missing shard {entry!r}")
+            singles.append(jax.device_put(
+                jnp_asarray_like(data[entry], leaf.dtype), s.device))
+        out.append(jax.make_array_from_single_device_arrays(
+            leaf.shape, leaf.sharding, singles))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def jnp_asarray_like(a: np.ndarray, dtype) -> np.ndarray:
+    return np.asarray(a, dtype=dtype)

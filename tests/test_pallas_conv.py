@@ -1,6 +1,7 @@
 """Pallas fused stencil conv (interpret mode on CPU): exactness vs the XLA
 conv path across kernel shapes and inputs."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -359,4 +360,35 @@ class TestHaloBackwardKernels:
             g, flipped[None, None], (1, 1, 1), pads,
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
         np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestTapDotsConv:
+    """XLA-level im2col (per-tap dot_general) — VERDICT r2 #2: exact vs
+    the conv lowering for multi-channel shapes (the UNet/CNN baselines)."""
+
+    @pytest.mark.parametrize("shape,kshape", [
+        ((2, 5, 8, 9, 10), (7, 5, 3, 3, 3)),
+        ((1, 3, 6, 6, 6), (4, 3, 2, 4, 3)),   # even/odd mixed kernel
+        ((2, 1, 12, 8, 8), (1, 1, 9, 5, 5)),  # GENEO single-channel shape
+    ])
+    def test_matches_conv_lowering(self, shape, kshape):
+        from scenenet_tpu.ops.conv3d import conv3d_same, conv3d_same_tapdots
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        w = jnp.asarray(rng.random(kshape).astype(np.float32))
+        a = np.asarray(conv3d_same(x, w))
+        b = np.asarray(conv3d_same_tapdots(x, w))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    def test_grads_match(self):
+        from scenenet_tpu.ops.conv3d import conv3d_same, conv3d_same_tapdots
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((2, 4, 6, 6, 6)).astype(np.float32))
+        w = jnp.asarray(rng.random((4, 4, 3, 3, 3)).astype(np.float32))
+        g1 = jax.grad(lambda w: jnp.sum(conv3d_same(x, w) ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(conv3d_same_tapdots(x, w) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                    rtol=1e-4, atol=1e-4)
