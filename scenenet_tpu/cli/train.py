@@ -124,6 +124,11 @@ def _resolve_device_cache_auto(cfg: ExperimentConfig, n_samples: int):
     if not cfg.device_voxelization:
         print("[device_cache auto] -> false (needs device_voxelization)")
         return False
+    if cfg.model == "unet":
+        # stateful model (BatchNorm running stats): the scan-cached fits
+        # are stateless-only — stream via the per-batch loop
+        print("[device_cache auto] -> false (stateful model)")
+        return False
     try:
         import jax
 

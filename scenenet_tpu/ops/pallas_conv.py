@@ -211,14 +211,16 @@ def geneo_stencil_conv(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
-        # this variant's VMEM need is only the run_scoped scratches (~6 MiB
-        # at bz=16, 128² xy). A generous limit here is actively harmful:
-        # XLA's VMEM-placement pass takes it as license to scope-allocate
-        # the HBM operands (40 MiB input at batch-4 z=72 → 122 MiB scoped
-        # → compile-time OOM at mid-size shards). 32 MiB keeps the
-        # operands in HBM at every shape (at 128³ they never fit anyway).
+        # 100 MiB measured-required: this toolchain's placement pass stages
+        # custom-call operands on the VMEM stack for this variant (a fixed
+        # ~122 MiB scoped total at batch-4 128²-xy, independent of the
+        # limit), and full-128³ compiles under 100 MiB but not under 32.
+        # KNOWN LIMITATION: mid-size z extents (~48–96 planes at 128² xy,
+        # e.g. a 2-way-sharded 128³) still exceed the scoped budget and
+        # fail to compile — shard ≥4-way (resident-VMEM variant) or use
+        # backend="xla" there.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, kernel.astype(jnp.float32))

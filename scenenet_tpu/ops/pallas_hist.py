@@ -293,3 +293,134 @@ def pallas_bin_counts(
         wsum = out[:, n_hi:].reshape(b, n_hi * LO)[:, :size]
         return counts, wsum
     return counts, None
+
+
+def _hist_kernel_sorted(ids_ref, w_ref, starts_ref, o_ref, *, n_hi_slab: int,
+                        channels: int, chunk: int, dtype):
+    """Two-level (hierarchical) histogram over SORTED ids — VERDICT r2 #4.
+
+    Program (i, s) owns slab ``s`` of sample ``i``: the contiguous flat-id
+    range [s·n_hi_slab·LO, (s+1)·n_hi_slab·LO). Because the ids are sorted,
+    this slab's points occupy a contiguous run of the id array, located by
+    the precomputed ``starts`` positions (host-side searchsorted); the
+    chunk loop runs ONLY over that run, and the hi one-hot spans only the
+    slab's ``n_hi_slab`` rows instead of all of n_hi. MXU work drops from
+    points × bins to ≈ points × bins / n_slabs (+ one shared boundary
+    chunk per slab) — the difference between 4096-row and 256-row one-hots
+    at 128³."""
+    acc_dtype = o_ref.dtype
+    o_ref[0] = jnp.zeros_like(o_ref[0])
+    lo_shift = LO.bit_length() - 1
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    p0 = starts_ref[i, s]
+    p1 = starts_ref[i, s + 1]
+    c0 = p0 // chunk
+    c1 = (p1 + chunk - 1) // chunk
+    hi_base = s * n_hi_slab
+
+    def body(c, _):
+        ids = ids_ref[0, pl.ds(c, 1)]  # (1, chunk)
+        hi_c = (ids >> lo_shift) - hi_base
+        lo_c = ids & (LO - 1)
+        # lhs one-hot built transposed (n_hi_slab, chunk): rows outside
+        # [0, n_hi_slab) — neighbor-slab spill in boundary chunks and
+        # invalid/padding ids — never fire, keeping the result exact
+        mask_hi = hi_c == lax.broadcasted_iota(jnp.int32, (n_hi_slab, chunk), 0)
+        at = mask_hi.astype(dtype)
+        b = (lo_c[0][:, None] == lax.broadcasted_iota(jnp.int32, (chunk, LO), 1))
+        b = b.astype(dtype)
+        dims = (((1,), (0,)), ((), ()))
+        if channels == 2:
+            wrow = w_ref[0, pl.ds(c, 1)]  # (1, chunk)
+            awt = jnp.logical_and(mask_hi, wrow != 0).astype(dtype)
+            o_ref[0, 0] += lax.dot_general(
+                at, b, dims, preferred_element_type=acc_dtype)
+            o_ref[0, 1] += lax.dot_general(
+                awt, b, dims, preferred_element_type=acc_dtype)
+        else:
+            o_ref[0, 0] += lax.dot_general(at, b, dims,
+                                           preferred_element_type=acc_dtype)
+        return 0
+
+    lax.fori_loop(c0, c1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "n_slabs", "chunk",
+                                             "interpret", "channels"))
+def pallas_sorted_bin_counts(
+    flat: jnp.ndarray,
+    mask: jnp.ndarray,
+    weights: Optional[jnp.ndarray],
+    size: int,
+    n_slabs: int = 16,
+    chunk: int = 2048,
+    interpret: bool = False,
+    channels: int = 2,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(B, N) flat bin ids → (B, size) counts [, weighted counts] via the
+    hierarchical sorted two-level kernel.
+
+    Sorts (ids, weight) per sample (masked points get a beyond-range
+    sentinel and sort to the tail, outside every slab's run), locates the
+    ``n_slabs`` contiguous slab runs with a vmapped ``searchsorted``, and
+    hands both to :func:`_hist_kernel_sorted`. For 64³ (n_hi ≤ 512) the
+    flat single-level kernel is already optimal — this path pays off when
+    n_hi ≫ 512 (128³: n_hi=4096), where it cuts the one-hot matmul work
+    ≈ n_slabs× (measured on-chip: see benchmarks/RESULTS.md "128³
+    training").
+    """
+    b, n = flat.shape
+    n_hi = -(-size // LO)
+    n_hi_slab = -(-n_hi // n_slabs)
+    invalid = n_slabs * n_hi_slab * LO  # sorts past every slab
+    flat = jnp.where(mask, flat, invalid).astype(jnp.int32)
+    if weights is None and channels == 2:
+        weights = jnp.zeros_like(flat)
+    w = weights.astype(jnp.int32) if weights is not None else \
+        jnp.zeros_like(flat)
+    ids_s, w_s = lax.sort((flat, w), dimension=1, num_keys=1)
+    bounds = (jnp.arange(n_slabs + 1, dtype=jnp.int32) * (n_hi_slab * LO))
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left"))(ids_s)
+    starts = starts.astype(jnp.int32)
+
+    if n % chunk:
+        pad = chunk - n % chunk
+        ids_s = jnp.pad(ids_s, ((0, 0), (0, pad)), constant_values=invalid)
+        w_s = jnp.pad(w_s, ((0, 0), (0, pad)))
+        n += pad
+    n_chunks = n // chunk
+    ids_s = ids_s.reshape(b, n_chunks, chunk)
+    w_s = w_s.reshape(b, n_chunks, chunk)
+
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i, s: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel_sorted, n_hi_slab=n_hi_slab,
+                          channels=channels, chunk=chunk, dtype=jnp.int8),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, channels, n_slabs * n_hi_slab, LO), jnp.int32),
+        grid=(b, n_slabs),
+        in_specs=[
+            id_spec,
+            id_spec,
+            # SMEM block = the whole (B, K+1) array (Mosaic requires
+            # full-dim or tile-aligned blocks); the kernel indexes [i, s]
+            pl.BlockSpec((b, n_slabs + 1), lambda i, s: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, channels, n_hi_slab, LO),
+                               lambda i, s: (i, 0, s, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ids_s, w_s, starts)
+
+    out = out.astype(jnp.float32).reshape(b, channels, -1)[:, :, :size]
+    if channels == 2:
+        return out[:, 0], out[:, 1]
+    return out[:, 0], None

@@ -323,6 +323,29 @@ def _is_tower(labels: jnp.ndarray, keep_labels: Tuple[int, ...]) -> jnp.ndarray:
     return is_tower
 
 
+def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
+    """TPU route for the batched two-channel histogram: the fused
+    raw-points kernel at 64³-class grids; at 128³-class grids (n_hi > 512)
+    the hierarchical sorted two-level kernel (VERDICT r2 #4 — the flat
+    kernel's matmul work is points × bins; sorting + per-slab windows cut
+    it ≈ n_slabs×, measured in RESULTS.md "128³ training")."""
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    if -(-size // _MXU_LO) > 512:
+        from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
+
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape),
+                                 grid_shape)
+
+        flat = jax.vmap(per_sample_flat)(points, mask)
+        return pallas_sorted_bin_counts(flat, mask, tower_w, size)
+    from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+    return pallas_points_bin_counts(points, mask, tower_w, grid_shape)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
 def voxelize_batch(
     points: jnp.ndarray,
@@ -341,9 +364,7 @@ def voxelize_batch(
     n_x, n_y, n_z = grid_shape
     is_tower = _is_tower(labels, keep_labels)
     if jax.default_backend() == "tpu":
-        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
-
-        counts, tower = pallas_points_bin_counts(
+        counts, tower = _tpu_two_channel_counts(
             points, mask, jnp.logical_and(is_tower, mask), grid_shape)
         counts = counts.reshape(b, n_z, n_x, n_y)
         tower = tower.reshape(b, n_z, n_x, n_y)
@@ -381,9 +402,7 @@ def voxelize_batch_binary(
     n_x, n_y, n_z = grid_shape
     is_tower = _is_tower(labels, keep_labels)
     if jax.default_backend() == "tpu":
-        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
-
-        counts, tower = pallas_points_bin_counts(
+        counts, tower = _tpu_two_channel_counts(
             points, mask, jnp.logical_and(is_tower, mask), grid_shape)
         counts = counts.reshape(b, n_z, n_x, n_y)
         tower = tower.reshape(b, n_z, n_x, n_y)

@@ -22,10 +22,12 @@ by halo dependence instead:
 
 Same total conv FLOPs (VALID-z work scales with output planes: lo +
 (Z_local−lo−hi) + hi = Z_local), identical results (tested exactly vs the
-serial path and the unsharded conv on the 8-CPU mesh), but the wire time
-hides behind ~Z_local/(lo+hi) × the boundary work. See
-``benchmarks/RESULTS.md`` ("Spatial sharding: projected v5e-8 scaling")
-for the measured per-shard times + ICI model.
+serial path and the unsharded conv on the 8-CPU mesh). MEASURED VERDICT
+(benchmarks/shard_projection.py, RESULTS.md "Spatial sharding"): at
+config-5 scale the ICI wire is ~1% of per-shard compute, while the
+split's thin boundary convs carry ~1.6 ms fixed overhead each — so the
+serial path is the default and overlap is an opt-in for the regime where
+halo bytes are large enough (≳70 MB) that wire time rivals compute.
 
 These functions run *inside* shard_map (per-shard views); wrappers that
 build the shard_map live in :mod:`scenenet_tpu.parallel.dp`.
@@ -97,7 +99,7 @@ def halo_conv3d(
     activation: bool = False,
     interpret: bool | None = None,
     scratch_dtype: str = "f32",
-    overlap: bool = True,
+    overlap: bool = False,
 ) -> jnp.ndarray:
     """SAME 3D conv on a Z-sharded (B, C, Z_local, X, Y) block.
 
@@ -106,11 +108,17 @@ def halo_conv3d(
     SAME x/y padding. Output keeps the local Z extent, so the concatenation
     of outputs over the axis equals the unsharded SAME conv.
 
-    ``overlap=True`` (default) issues the interior conv — which needs no
-    halo — before consuming the permute results, letting XLA overlap the
-    ICI transfer with the bulk of the compute (module docstring). Falls
+    ``overlap=True`` issues the interior conv — which needs no halo —
+    before consuming the permute results, letting XLA overlap the ICI
+    transfer with the bulk of the compute (module docstring), and falls
     back to the serial permute→concat→conv when the shard is too thin
-    (Z_local ≤ k_z−1, where there is no interior).
+    (Z_local ≤ k_z−1, where there is no interior). It is OFF by default
+    on measurement, not principle: at BASELINE config-5 scale the wire
+    time is ~1% of per-shard compute (1.05 MB halo ≈ 0.023 ms at 45 GB/s
+    vs 1.7–4 ms convs) while the split's two thin boundary convs carry
+    ~1.6 ms fixed overhead each (benchmarks/shard_projection.py; RESULTS
+    "Spatial sharding: projected v5e-8 scaling") — overlap starts paying
+    only when halo bytes reach ~70 MB (very large batch × xy extents).
 
     ``backend="pallas"`` routes the single-channel local conv through the
     fused Pallas stencil (HBM-streamed for 128³+ shards — the BASELINE
@@ -175,7 +183,7 @@ def spatial_scenenet_forward(
     axis_name: str = "space",
     interpret: bool | None = None,
     inference: bool = False,
-    overlap: bool = True,
+    overlap: bool = False,
 ) -> jnp.ndarray:
     """SceneNet forward on a Z-sharded input block (inside shard_map).
 

@@ -179,6 +179,9 @@ class TestDeviceCacheAuto:
         assert _resolve_device_cache_auto(
             ExperimentConfig(data_path="x", device_voxelization=False),
             100) is False
+        # stateful model (UNet BatchNorm) → scan-cached fits unsupported
+        assert _resolve_device_cache_auto(
+            ExperimentConfig(data_path="x", model="unet"), 100) is False
         out = capsys.readouterr().out
         assert "[device_cache auto]" in out
 
