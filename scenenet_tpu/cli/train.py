@@ -216,6 +216,7 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         precision=cfg.precision,
         epoch_chunks=cfg.epoch_chunks,
         checkpoint_every_n_steps=cfg.checkpoint_every_n_steps,
+        compiler_options=cfg.compiler_options,
     )
     # preemption recovery (VERDICT r2 #5): a SIGTERM'd run leaves a
     # full-fidelity snapshot; a fresh launch of the same experiment picks

@@ -17,6 +17,7 @@ TPU-first re-design of the reference's Lightning stack
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -64,6 +65,17 @@ class TrainConfig:
     # `precision: 16` intent, defaults_config.yml:83-84)
     # --- preemption safety (VERDICT r2 #5; the reference is fail-fast,
     # SURVEY §5.3) ---
+    compiler_options: Optional[dict] = None  # per-jit XLA overrides for
+    # the train/eval + cached-epoch steps. Measured use: this toolchain's
+    # space-to-batch pass SIGABRTs on small-batch multi-channel conv3d
+    # gradients (space_to_batch_converter.cc:2011 select-shape check);
+    # disabling needs ALL THREE variants —
+    # {"xla_tpu_run_space_to_batch": "false",
+    #  "xla_tpu_run_space_to_batch_after_spmd": "false",
+    #  "xla_tpu_run_space_to_batch_on_new_platforms": "false"}
+    # (the base flag alone fixes plain jits but not the scan-wrapped
+    # cached-epoch programs; benchmarks/RESULTS.md "White-box vs
+    # black-box")
     epoch_chunks: int = 1           # split each cached scan-epoch into K
     # dispatches with a carried cursor: a SIGTERM mid-epoch loses at most
     # 1/K of the epoch instead of all of it
@@ -184,8 +196,10 @@ class Trainer:
         from scenenet_tpu.train.state import optimizer_needs_value_fn
 
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)
+        jit = (functools.partial(jax.jit, compiler_options=cfg.compiler_options)
+               if cfg.compiler_options else jax.jit)
 
-        @jax.jit
+        @jit
         def train_step(state: TrainState, mstate: MetricState, *batch):
             x, y = self.batch_prep(*batch) if self.batch_prep else batch
             (loss, (pred, new_ms)), grads = jax.value_and_grad(
@@ -207,7 +221,7 @@ class Trainer:
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return new_state, mstate, loss, grads
 
-        @jax.jit
+        @jit
         def eval_step(params, model_state, mstate: MetricState, *batch):
             x, y = self.batch_prep(*batch) if self.batch_prep else batch
             loss, (pred, _) = self._loss(params, x, y, model_state, train=False)
@@ -446,7 +460,8 @@ class Trainer:
                 f"fit_cached: cache holds {n} samples < batch_size {batch_size}")
         key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
 
-        @functools.partial(jax.jit, static_argnames=("n_chunk",))
+        @functools.partial(jax.jit, static_argnames=("n_chunk",),
+                           compiler_options=cfg.compiler_options)
         def chunk_fn(state: TrainState, mstate, loss_sum, aug_key,
                      points, labels, mask, kperm, start_batch, n_chunk):
             order = jax.random.permutation(kperm, n)
@@ -557,7 +572,8 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
         import functools
 
-        @functools.partial(jax.jit, static_argnames=("n_chunk",))
+        @functools.partial(jax.jit, static_argnames=("n_chunk",),
+                           compiler_options=cfg.compiler_options)
         def chunk_fn(state: TrainState, mstate, loss_sum, aug_key,
                      xs, ys, kperm, start_batch, n_chunk):
             order = jax.random.permutation(kperm, n)

@@ -85,6 +85,12 @@ class ExperimentConfig:
     early_stop_patience: int = 25
     accumulate_grad_batches: int = 1
     tau: float = 0.65
+    # per-jit XLA compiler overrides for the train/eval + cached-epoch
+    # steps (dict). Measured use: disabling this toolchain's crashing
+    # space-to-batch pass for small-batch multi-channel conv3d training —
+    # set all of xla_tpu_run_space_to_batch{,_after_spmd,_on_new_platforms}
+    # to "false" (RESULTS.md "White-box vs black-box")
+    compiler_options: Optional[Dict[str, Any]] = None
     # "f32" | "bf16" — mixed-precision forward (the reference's
     # defaults_config.yml declares `precision: 16` but never wires it;
     # here it is real: bf16 params/activations, f32 masters + loss)
