@@ -367,7 +367,18 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     for k, v in sorted(best.items()):
         print(f"  {k}: {v:.4f}")
 
-    test_scores = trainer.evaluate(final_params, test_loader, prefix="test")
+    # test with the BEST checkpoint, like the reference's trainer.test
+    # (main.py:255-268); fall back to the final params when no checkpoint
+    # qualified (e.g. zero epochs)
+    test_params = final_params
+    if cfg.test_checkpoint == "best":
+        metric = cfg.early_stop_metric or "train_FBetaScore"
+        try:
+            test_params = trainer.restore_best(metric, final_params)
+            print(f"[test] using best '{metric}' checkpoint")
+        except (FileNotFoundError, AttributeError, KeyError) as e:
+            print(f"[test] best checkpoint unavailable ({e}); using final params")
+    test_scores = trainer.evaluate(test_params, test_loader, prefix="test")
     for k, v in sorted(test_scores.items()):
         print(f"  {k}: {v:.4f}")
 

@@ -113,6 +113,9 @@ class ExperimentConfig:
     checkpoint_top_k: int = 2
     resume_from_checkpoint: bool = False
     resume_checkpoint_name: str = "last"
+    # evaluate with the best checkpoint (reference trainer.test semantics,
+    # main.py:255-268) or the final params
+    test_checkpoint: str = "best"  # "best" | "last"
     # preemption safety (VERDICT r2 #5): K dispatches per cached epoch
     # (≤1/K of an epoch lost to SIGTERM), optional periodic full snapshots,
     # and automatic pickup of a preemption snapshot on relaunch
@@ -154,12 +157,14 @@ _TUPLE_FIELDS = {"voxel_grid_size", "voxel_size", "kernel_size", "keep_labels"}
 
 def _coerce(name: str, value: Any) -> Any:
     if name in _TUPLE_FIELDS:
-        if value is None or value == "None":
+        if value is None or (isinstance(value, str)
+                             and value.lower() in ("none", "null")):
             return None
         if isinstance(value, str):
             value = ast.literal_eval(value)
         return tuple(value)
-    if isinstance(value, str) and value == "None":
+    if isinstance(value, str) and value.lower() in ("none", "null"):
+        # YAML-style null / python None spellings from --set overrides
         return None
     return value
 

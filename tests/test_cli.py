@@ -191,3 +191,15 @@ class TestDeviceCacheAuto:
         cfg = load_config("experiments/defaults.yaml")
         assert cfg.device_cache == "auto"
         assert cfg.augment is False  # reference parity: no augmentation
+
+
+class TestNullCoercion:
+    def test_null_strings_become_none(self, tmp_path):
+        from scenenet_tpu.utils.config import load_config
+
+        cfg = load_config(None, {"early_stop_metric": "null", "data_path": "x"})
+        assert cfg.early_stop_metric is None
+        cfg = load_config(None, {"early_stop_metric": "None", "data_path": "x"})
+        assert cfg.early_stop_metric is None
+        cfg = load_config(None, {"voxel_size": "null", "data_path": "x"})
+        assert cfg.voxel_size is None
