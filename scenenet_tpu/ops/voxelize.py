@@ -325,13 +325,19 @@ def _is_tower(labels: jnp.ndarray, keep_labels: Tuple[int, ...]) -> jnp.ndarray:
 
 def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
     """TPU route for the batched two-channel histogram: the fused
-    raw-points kernel at 64³-class grids; at 128³-class grids (n_hi > 512)
-    the hierarchical sorted two-level kernel (VERDICT r2 #4 — the flat
-    kernel's matmul work is points × bins; sorting + per-slab windows cut
-    it ≈ n_slabs×, measured in RESULTS.md "128³ training")."""
+    raw-points kernel by default; the hierarchical sorted two-level kernel
+    when the flat kernel's MAC volume (points × bins per sample) is large
+    enough to amortize the id+sort prefix (VERDICT r2 #4 — sorting +
+    per-slab windows cut the matmul work ≈ n_slabs×).
+
+    Measured crossover: 128³ × 131k pts (2.8e11 MACs/sample) the sorted
+    path is 2.8× faster (14.6 → 5.3 ms/b4); KITTI (64,64,256) × 32k pts
+    (3.4e10) it is 4% *slower* (1,262 → 1,209 crops/s) — the threshold
+    sits between, at 1e11 (RESULTS.md "128³ training" / "SemanticKITTI").
+    """
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    if -(-size // _MXU_LO) > 512:
+    if -(-size // _MXU_LO) > 512 and points.shape[1] * size >= int(1e11):
         from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
 
         def per_sample_flat(p, m):
