@@ -424,3 +424,85 @@ def pallas_sorted_bin_counts(
     if channels == 2:
         return out[:, 0], out[:, 1]
     return out[:, 0], None
+
+
+def _points_ids_kernel(pts_ref, m_ref, o_ref, *, grid_shape, invalid: int):
+    """Raw points → flat (z,x,y) bin ids, bounds computed in-kernel.
+
+    The id-computation prefix of the hierarchical sorted path: identical
+    bounds + binning math to :func:`_points_hist_kernel` (regular-
+    bounding-box expansion, pyntcloud edge rule, f32 1e-4 bias), but the
+    ids ARE the output — one HBM read of the points, one id write,
+    instead of the vmapped XLA formulation's multiple reduction passes
+    (measured 2.6 ms → ~0.3 ms for b4 × 131k at 128³)."""
+    n_x, n_y, n_z = grid_shape
+    m = m_ref[0] != 0  # (n_chunks, chunk)
+    big = jnp.float32(3.4e38)
+    axes_lo = []
+    axes_hi = []
+    for a in range(3):
+        p = pts_ref[0, a]
+        axes_lo.append(jnp.min(jnp.where(m, p, big)))
+        axes_hi.append(jnp.max(jnp.where(m, p, -big)))
+    rngs = [h - l for l, h in zip(axes_lo, axes_hi)]
+    rmax = jnp.maximum(rngs[0], jnp.maximum(rngs[1], rngs[2]))
+    lo = [l - (rmax - r) * 0.5 for l, r in zip(axes_lo, rngs)]
+    hi = [h + (rmax - r) * 0.5 for h, r in zip(axes_hi, rngs)]
+    shape_f = (jnp.float32(n_x), jnp.float32(n_y), jnp.float32(n_z))
+    inv_step = [s / jnp.maximum(h - l, jnp.float32(1e-30))
+                for l, h, s in zip(lo, hi, shape_f)]
+
+    def bin_axis(a, n):
+        p = pts_ref[0, a]
+        rel = (p - lo[a]) * inv_step[a]
+        idx = jnp.ceil(rel - jnp.float32(1e-4)).astype(jnp.int32) - 1
+        return jnp.clip(idx, 0, n - 1)
+
+    ix = bin_axis(0, n_x)
+    iy = bin_axis(1, n_y)
+    iz = bin_axis(2, n_z)
+    o_ref[0] = jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
+                                             "chunk"))
+def pallas_flat_ids(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    interpret: bool = False,
+    chunk: int = CHUNK,
+) -> jnp.ndarray:
+    """(B, N, 3) raw points (+mask) → (B, N) flat bin ids (masked points
+    get an out-of-range sentinel). Matches
+    ``_flat_zxy_idx(voxel_indices(grid_bounds(...)))`` exactly."""
+    b, n, _ = points.shape
+    n_x, n_y, n_z = grid_shape
+    invalid = -(-(n_x * n_y * n_z) // LO) * LO
+    n0 = n
+    if n % chunk:
+        pad = chunk - n % chunk
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        n += pad
+    n_chunks = n // chunk
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2).reshape(
+        b, 3, n_chunks, chunk)
+    m = mask.astype(jnp.int32).reshape(b, n_chunks, chunk)
+    pts_spec = pl.BlockSpec((1, 3, n_chunks, chunk), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_points_ids_kernel, grid_shape=grid_shape,
+                          invalid=invalid),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, chunk), jnp.int32),
+        grid=(b,),
+        in_specs=[pts_spec, id_spec],
+        out_specs=id_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(pts_t, m)
+    return out.reshape(b, n)[:, :n0]

@@ -340,6 +340,10 @@ def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
     if -(-size // _MXU_LO) > 512 and points.shape[1] * size >= int(1e11):
         from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
 
+        # ids stay in XLA: the Pallas in-kernel-bounds id kernel
+        # (pallas_flat_ids) measured 13.9 vs 12.9 ms on the full 128³
+        # step — in context XLA fuses the id computation with the
+        # surrounding step where the separate kernel dispatch cannot
         def per_sample_flat(p, m):
             lo, hi = grid_bounds(p, m)
             return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape),

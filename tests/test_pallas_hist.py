@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax
+
 import jax.numpy as jnp
 
 from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
@@ -216,3 +218,25 @@ class TestSortedHierarchical:
             jnp.asarray(flat), jnp.zeros((1, 600), bool), None, size,
             n_slabs=16, chunk=256, interpret=True)
         assert float(counts.sum()) == 0
+
+
+class TestPallasFlatIds:
+    def test_matches_xla_ids(self):
+        from scenenet_tpu.ops.pallas_hist import pallas_flat_ids
+        from scenenet_tpu.ops.voxelize import (
+            _flat_zxy_idx, grid_bounds, voxel_indices,
+        )
+
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(0, 30, (3, 4000, 3)).astype(np.float32)
+        mask = rng.random((3, 4000)) > 0.1
+        for gs in [(64, 64, 64), (64, 64, 256), (128, 128, 128)]:
+            ours = np.asarray(pallas_flat_ids(
+                jnp.asarray(pts), jnp.asarray(mask), gs, interpret=True,
+                chunk=512))
+            def per(p, m):
+                lo, hi = grid_bounds(p, m)
+                return _flat_zxy_idx(voxel_indices(p, lo, hi, gs), gs)
+            ref = np.asarray(jax.vmap(per)(jnp.asarray(pts), jnp.asarray(mask)))
+            np.testing.assert_array_equal(ours[mask], ref[mask])
+            assert np.all(ours[~mask] >= gs[0] * gs[1] * gs[2])
