@@ -31,6 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -225,6 +226,252 @@ def geneo_stencil_conv(
         interpret=interpret,
     )(xp, kernel.astype(jnp.float32))
     return out[:, None, :z_out, :xx, :yy]
+
+
+_EYES_CACHE: dict = {}
+
+
+def _band_eyes(k_y: int, yy: int, kp: int):
+    """(k_y, kp, yy) constants with eyes[dy, y+dy, y] = 1 — the shifted
+    identities whose kernel-weighted sum is the banded B_y matrix."""
+    import numpy as np
+
+    key = (k_y, yy, kp)
+    if key not in _EYES_CACHE:
+        eyes = np.zeros((k_y, kp, yy), np.float32)
+        ar = np.arange(yy)
+        for dy in range(k_y):
+            eyes[dy, ar + dy, ar] = 1.0
+        _EYES_CACHE[key] = eyes
+    return _EYES_CACHE[key]
+
+
+def banded_y_weights(kernel: jnp.ndarray, yy: int, kp: int,
+                     split: bool) -> jnp.ndarray:
+    """(k_z, k_x, k_y) kernel → (1|2, k_z, k_x, kp, yy) banded bf16
+    matrices with B_y[dz, dx][y+dy, y] = k[dz, dx, dy] (jit-friendly:
+    one einsum against static shifted identities, built per forward from
+    the synthesized GENEO kernel). ``split=True`` adds the bf16 residual
+    (B − bf16(B)) as a second matrix — two MXU dots recover near-f32
+    accuracy (measured max|Δ| 2.6e-5 and ZERO τ=0.65 mask flips over
+    33.5M voxels vs the f32 stencil; single bf16 is ~1.8e-2 / 0.003%)."""
+    k_y = kernel.shape[2]
+    eyes = jnp.asarray(_band_eyes(k_y, yy, kp))
+    band = jnp.einsum("abd,dky->abky", kernel.astype(jnp.float32), eyes)
+    hi = band.astype(jnp.bfloat16)
+    if not split:
+        return hi[None]
+    lo = (band - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
+
+
+def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, *, kernel_size,
+                        activation: bool, split: bool):
+    """MXU stencil forward: per dx, one sublane-shifted staging; per
+    (dx, dz), a (bz, xx, kp) @ (kp, yy) bf16 dot against the banded B_y —
+    the k_y lane-rotates fold into the contraction and the z-chain rides
+    the systolic array. 1.8× the VPU stencil (single bf16) / 1.27×
+    (split) at batch-128 64³ (benchmarks/conv_mxu.py).
+
+    The contraction MUST be 128-lane-aligned: this Mosaic toolchain
+    MISCOMPILES bf16 dot_general with unaligned K (K=68: max|Δ|=2.48 vs
+    0.0 at K=128 on identical inputs — benchmarks/RESULTS.md "MXU
+    stencil"), so callers pad the y-halo to kp = ⌈yp/128⌉·128.
+    """
+    k_z, k_x, k_y = kernel_size
+    _, z, xx, yy = o_ref.shape
+    base = pl.program_id(1) * z
+    zp = shift_ref.shape[0]
+    dims = (((2,), (0,)), ((), ()))
+    for dx in range(k_x):
+        shift_ref[...] = x_ref[0, pl.ds(base, zp), dx:dx + xx, :].astype(
+            shift_ref.dtype)
+        acc = None
+        for dz in range(k_z):
+            s = shift_ref[pl.ds(dz, z)]  # (z, xx, kp) bf16
+            d = lax.dot_general(s, by_ref[0, dz, dx], dims,
+                                preferred_element_type=jnp.float32)
+            if split:
+                d += lax.dot_general(s, by_ref[1, dz, dx], dims,
+                                     preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        if dx == 0:
+            o_ref[0] = acc
+        else:
+            o_ref[0] += acc
+    if activation:
+        o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
+
+
+def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
+                            activation: bool, split: bool, bz: int,
+                            xp_shape):
+    """HBM-streamed banded-y MXU forward (128³+): DMA one overlapping
+    z-slab window per grid step (as :func:`_stencil_kernel_hbm`), but per
+    (dx, dz) run a (bz, ox, kp) @ (kp, oy) bf16 dot against the banded
+    B_y instead of the k_y-deep VPU shift/FMA chains. The banded matrices
+    span the 128-aligned padded output columns; the extra columns read
+    only input zero padding and are sliced away by the caller."""
+    k_z, k_x, k_y = kernel_size
+    _, _, ox, oy = o_hbm.shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def body(scratch, shift, out_vmem, sem_in, sem_out):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, pl.ds(j * bz, bz + k_z - 1)], scratch, sem_in
+        )
+        dma.start()
+        dma.wait()
+        dims = (((2,), (0,)), ((), ()))
+        for dx in range(k_x):
+            shift[...] = scratch[:, dx:dx + ox, :].astype(shift.dtype)
+            acc = None
+            for dz in range(k_z):
+                s = shift[pl.ds(dz, bz)]  # (bz, ox, kp) bf16
+                d = lax.dot_general(s, by_ref[0, dz, dx], dims,
+                                    preferred_element_type=jnp.float32)
+                if split:
+                    d += lax.dot_general(s, by_ref[1, dz, dx], dims,
+                                         preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            if dx == 0:
+                out_vmem[...] = acc
+            else:
+                out_vmem[...] += acc
+        if activation:
+            out_vmem[...] = jax.nn.relu(jnp.tanh(out_vmem[...]))
+        dma_out = pltpu.make_async_copy(
+            out_vmem, o_hbm.at[i, pl.ds(j * bz, bz)], sem_out
+        )
+        dma_out.start()
+        dma_out.wait()
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((bz + k_z - 1, *xp_shape), jnp.float32),
+        shift=pltpu.VMEM((bz + k_z - 1, ox, xp_shape[1]), jnp.bfloat16),
+        out_vmem=pltpu.VMEM((bz, ox, oy), jnp.float32),
+        sem_in=pltpu.SemaphoreType.DMA(()),
+        sem_out=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "split",
+                                             "interpret"))
+def geneo_stencil_conv_mxu(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    activation: bool = True,
+    split: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference-only MXU formulation of :func:`geneo_stencil_conv`
+    (SAME conv + optional relu∘tanh; torch's asymmetric SAME rule).
+
+    Numerics: occupancy inputs ({0,1}) are exact in bf16; the kernel
+    weights round to bf16 — ``split=True`` (default) adds the residual
+    dot per tap for near-f32 accuracy (see :func:`banded_y_weights`).
+    Volumes beyond the VMEM-resident size stream overlapping z-slab
+    windows from HBM (as :func:`geneo_stencil_conv`) with the same
+    banded-y dots per slab.
+    """
+    b, c, z, xx, yy = x.shape
+    assert c == 1, "fused stencil path is single-channel"
+    k_z, k_x, k_y = kernel.shape
+    resident = 4 * (z + k_z - 1) * (xx + k_x - 1) * (yy + k_y - 1) \
+        <= 4 * 1024 * 1024
+    if not resident:
+        return _geneo_stencil_conv_mxu_hbm(x, kernel, activation=activation,
+                                           split=split, interpret=interpret)
+    yp = yy + k_y - 1
+    kp = -(-yp // 128) * 128
+    pads = [(0, 0), (0, 0), ((k_z - 1) // 2, k_z // 2),
+            ((k_x - 1) // 2, k_x // 2),
+            ((k_y - 1) // 2, kp - yy - (k_y - 1) // 2)]
+    xp = jnp.pad(x, pads)[:, 0]
+    bz, zpad = _pick_slab(z)
+    if zpad:
+        xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
+    zz = z + zpad
+    by = banded_y_weights(kernel, yy, kp, split)
+    out = pl.pallas_call(
+        functools.partial(_stencil_mxu_kernel, kernel_size=(k_z, k_x, k_y),
+                          activation=activation, split=split),
+        out_shape=jax.ShapeDtypeStruct((b, zz, xx, yy), jnp.float32),
+        grid=(b, zz // bz),
+        in_specs=[
+            pl.BlockSpec((1, zz + k_z - 1, xx + k_x - 1, kp),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, kp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, by)
+    return out[:, None, :z]
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "split",
+                                             "interpret"))
+def _geneo_stencil_conv_mxu_hbm(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    activation: bool = True,
+    split: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Streamed variant of :func:`geneo_stencil_conv_mxu` for volumes past
+    the VMEM-resident cap (128³+): per grid step one overlapping z-slab
+    window is DMA'd from HBM and convolved via the banded-y MXU dots.
+
+    DMA'd planes align to the (8, 128) f32 tile: output x/y pad up to
+    (8, 128) multiples; input y pads to the 128-aligned contraction width
+    kp (the bf16-dot alignment requirement — see
+    :func:`geneo_stencil_conv_mxu`). Inherits the streamed path's
+    scoped-vmem caveat for mid-size z extents (see
+    :func:`geneo_stencil_conv`).
+    """
+    b, c, z, xx, yy = x.shape
+    assert c == 1, "fused stencil path is single-channel"
+    k_z, k_x, k_y = kernel.shape
+    bz, zpad = _pick_slab(z)
+    ox = xx + ((-xx) % 8)
+    oy = yy + ((-yy) % 128)
+    kp = -(-(oy + k_y - 1) // 128) * 128
+    xp_x = ox + k_x - 1 + ((-(ox + k_x - 1)) % 8)
+    pads = [(0, 0), (0, 0), ((k_z - 1) // 2, k_z // 2),
+            ((k_x - 1) // 2, xp_x - xx - (k_x - 1) // 2),
+            ((k_y - 1) // 2, kp - yy - (k_y - 1) // 2)]
+    xp = jnp.pad(x, pads)[:, 0]
+    if zpad:
+        xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
+    zz = z + zpad
+    by = banded_y_weights(kernel, oy, kp, split)
+    out = pl.pallas_call(
+        functools.partial(_stencil_kernel_hbm_mxu,
+                          kernel_size=(k_z, k_x, k_y),
+                          activation=activation, split=split, bz=bz,
+                          xp_shape=(xp_x, kp)),
+        out_shape=jax.ShapeDtypeStruct((b, zz, ox, oy), jnp.float32),
+        grid=(b, zz // bz),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            memory_space=pltpu.ANY if interpret else pltpu.HBM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, by)
+    return out[:, None, :z, :xx, :yy]
 
 
 def _stencil_kernel_hbm(x_hbm, k_ref, o_hbm, *, kernel_size, activation,

@@ -353,7 +353,7 @@ def pallas_sorted_bin_counts(
     mask: jnp.ndarray,
     weights: Optional[jnp.ndarray],
     size: int,
-    n_slabs: int = 16,
+    n_slabs: Optional[int] = None,
     chunk: int = 2048,
     interpret: bool = False,
     channels: int = 2,
@@ -372,6 +372,11 @@ def pallas_sorted_bin_counts(
     """
     b, n = flat.shape
     n_hi = -(-size // LO)
+    if n_slabs is None:
+        # keep each slab's one-hot ≲256 rows: the measured-best K at 128³
+        # (n_hi=4096 → 16 slabs of 256, RESULTS.md sweep) generalized so
+        # 256³-class grids (n_hi=32768) stay at the same rows-per-dot
+        n_slabs = max(16, -(-n_hi // 256))
     n_hi_slab = -(-n_hi // n_slabs)
     invalid = n_slabs * n_hi_slab * LO  # sorts past every slab
     flat = jnp.where(mask, flat, invalid).astype(jnp.int32)

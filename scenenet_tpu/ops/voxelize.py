@@ -356,6 +356,33 @@ def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
     return pallas_points_bin_counts(points, mask, tower_w, grid_shape)
 
 
+def _tpu_occupancy_counts(points, mask, grid_shape):
+    """TPU route for single-channel (density/occupancy) counts: the fused
+    raw-points kernel, except when the grid is too large for it — the flat
+    kernel holds its whole (n_hi, 512) accumulator block in VMEM, which is
+    64 MB at 256³ (n_hi=32768) — or when the sorted path's measured MAC
+    crossover is reached (same 1e11 threshold as the two-channel route).
+    Large grids take the hierarchical sorted kernel with auto slab count."""
+    n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    n_hi = -(-size // _MXU_LO)
+    if n_hi > 4096 or (n_hi > 512 and points.shape[1] * size >= int(1e11)):
+        from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
+
+        def per_sample_flat(p, m):
+            lo, hi = grid_bounds(p, m)
+            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape),
+                                 grid_shape)
+
+        flat = jax.vmap(per_sample_flat)(points, mask)
+        return pallas_sorted_bin_counts(flat, mask, None, size,
+                                        channels=1)[0]
+    from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
+
+    return pallas_points_bin_counts(points, mask, None, grid_shape,
+                                    channels=1)[0]
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "keep_labels"))
 def voxelize_batch(
     points: jnp.ndarray,
@@ -566,10 +593,7 @@ def voxelize_batch_hist(
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
     if method == "mxu" and jax.default_backend() == "tpu":
-        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
-
-        counts = pallas_points_bin_counts(points, mask, None, grid_shape,
-                                          channels=1)[0]
+        counts = _tpu_occupancy_counts(points, mask, grid_shape)
         counts = counts.reshape(b, n_z, n_x, n_y)
         return jax.vmap(normalize_per_column)(counts)
 
@@ -603,10 +627,7 @@ def voxelize_batch_occupancy(
     b = points.shape[0]
     n_x, n_y, n_z = grid_shape
     if jax.default_backend() == "tpu":
-        from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
-
-        counts = pallas_points_bin_counts(points, mask, None, grid_shape,
-                                          channels=1)[0]
+        counts = _tpu_occupancy_counts(points, mask, grid_shape)
     else:
         def per_sample_flat(p, m):
             lo, hi = grid_bounds(p, m)

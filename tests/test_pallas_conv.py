@@ -276,6 +276,31 @@ class TestBf16Scratch:
         out = net.apply(params, x, inference=True)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
+    def test_model_inference_mxu_route(self, monkeypatch):
+        """inference="mxu" routes the combined kernel through the banded-y
+        MXU stencil (split-bf16) — near-f32 vs the default path."""
+        import scenenet_tpu.ops.pallas_conv as pc
+
+        rng = np.random.default_rng(25)
+        net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
+                                      kernel_size=(9, 5, 5), seed=3,
+                                      backend="pallas")
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.5)
+                        .astype(np.float32))
+        orig_mxu = pc.geneo_stencil_conv_mxu
+        monkeypatch.setattr(
+            pc, "geneo_stencil_conv_mxu",
+            lambda *a, **kw: orig_mxu(*a, **{**kw, "interpret": True}))
+        orig = pc.geneo_stencil_conv
+        monkeypatch.setattr(
+            pc, "fused_geneo_conv",
+            lambda x, k, interpret=False: orig(x, k, activation=True,
+                                               interpret=True))
+        ref = net.apply(params, x)
+        out = net.apply(params, x, inference="mxu")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
 
 class TestHBMStreamedDk:
     """HBM-streamed dk variant (128³+ training): exactness vs the XLA
@@ -361,6 +386,97 @@ class TestHaloBackwardKernels:
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
         np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestMxuStencilConv:
+    """Banded-y MXU formulation (inference): split-bf16 accuracy vs the
+    f32 conv, fused activation, and the non-resident fallback route."""
+
+    @pytest.mark.parametrize("ks", [(9, 5, 5), (3, 3, 3), (9, 6, 6)])
+    def test_split_matches_f32_conv(self, ks):
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(31)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.6)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal(ks).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv_mxu(x, k, activation=False, split=True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_fused_activation(self):
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(32)
+        x = jnp.asarray((rng.random((1, 1, 16, 16, 16)) > 0.5)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((9, 5, 5)).astype(np.float32))
+        ref = jnp.maximum(jnp.tanh(conv3d_same(x, k[None, None])), 0.0)
+        out = geneo_stencil_conv_mxu(x, k, activation=True, split=True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_single_bf16_bounded_error(self):
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(33)
+        x = jnp.asarray((rng.random((1, 1, 16, 16, 16)) > 0.6)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((9, 5, 5)).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv_mxu(x, k, activation=False, split=False,
+                                     interpret=True)
+        # single-bf16 band: kernel weights round to bf16 (~8-bit mantissa),
+        # so the error scales with the accumulated magnitude — bound it at
+        # ~1e-2 relative to the output's dynamic range, not elementwise
+        scale = float(np.abs(np.asarray(ref)).max())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1.5e-2 * scale, rtol=2e-2)
+
+    def test_odd_z_slab_padding(self):
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(34)
+        x = jnp.asarray((rng.random((1, 1, 20, 16, 16)) > 0.6)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((9, 5, 5)).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv_mxu(x, k, activation=False, split=True,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("shape,ks", [
+        ((1, 1, 64, 96, 96), (3, 3, 3)),    # > 4 MB → HBM route, pads x/y
+        ((1, 1, 40, 144, 200), (9, 5, 5)),  # unaligned y (oy 256, kp 384)
+    ])
+    def test_non_resident_streams_from_hbm(self, shape, ks):
+        """Past the VMEM-resident cap the MXU conv streams z-slab windows
+        from HBM with the same banded-y dots (split → near-f32)."""
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(35)
+        x = jnp.asarray((rng.random(shape) > 0.7).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal(ks).astype(np.float32))
+        ref = conv3d_same(x, k[None, None])
+        out = geneo_stencil_conv_mxu(x, k, activation=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_non_resident_fused_activation(self):
+        from scenenet_tpu.ops.pallas_conv import geneo_stencil_conv_mxu
+
+        rng = np.random.default_rng(36)
+        x = jnp.asarray((rng.random((1, 1, 64, 96, 96)) > 0.7)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3)).astype(np.float32))
+        ref = jnp.maximum(jnp.tanh(conv3d_same(x, k[None, None])), 0.0)
+        out = geneo_stencil_conv_mxu(x, k, activation=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
 
 
 class TestTapDotsConv:

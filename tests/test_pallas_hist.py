@@ -219,6 +219,24 @@ class TestSortedHierarchical:
             n_slabs=16, chunk=256, interpret=True)
         assert float(counts.sum()) == 0
 
+    def test_auto_slabs_single_channel(self):
+        """n_slabs=None auto-picks ~256 hi-rows per slab; channels=1 is the
+        large-grid occupancy route (`voxelize._tpu_occupancy_counts`)."""
+        from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
+
+        rng = np.random.default_rng(3)
+        B, N, size = 2, 2500, 64 * 64 * 40  # n_hi = 320 → auto 16 slabs
+        flat = rng.integers(0, size, (B, N)).astype(np.int32)
+        mask = rng.random((B, N)) > 0.2
+        counts, none = pallas_sorted_bin_counts(
+            jnp.asarray(flat), jnp.asarray(mask), None, size,
+            chunk=512, interpret=True, channels=1)
+        assert none is None
+        ref = np.zeros((B, size))
+        for b in range(B):
+            np.add.at(ref[b], flat[b][mask[b]], 1)
+        np.testing.assert_array_equal(np.asarray(counts), ref)
+
 
 class TestPallasFlatIds:
     def test_matches_xla_ids(self):
