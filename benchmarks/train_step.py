@@ -16,7 +16,8 @@ import time
 import numpy as np
 
 
-def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8):
+def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8,
+         backend="pallas"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -28,7 +29,7 @@ def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8):
     from scenenet_tpu.train.state import create_train_state
 
     net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0,
-                                  backend="pallas")
+                                  backend=backend)
     crit = resolve_criterion("geneo_tversky")(
         weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
         tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
@@ -73,7 +74,7 @@ def main(batch=16, n_points=65536, grid=(64, 64, 64), iters=8):
     total_loss = float(out[2])
     dt = time.perf_counter() - t0
     sps = batch * iters / dt
-    print(f"train step: {dt/iters*1e3:.1f} ms/step (batch {batch}) → "
+    print(f"train step [{backend}]: {dt/iters*1e3:.1f} ms/step (batch {batch}) → "
           f"{sps:.0f} samples/s  [reference ≈2.5 samples/s]  loss_sum={total_loss:.3f}")
 
 
@@ -85,5 +86,8 @@ if __name__ == "__main__":
     ap.add_argument("--points", type=int, default=65536)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--backend", default="pallas",
+                    choices=["xla", "pallas", "pallas_mxu"])
     a = ap.parse_args()
-    main(batch=a.batch, n_points=a.points, grid=(a.grid,) * 3, iters=a.iters)
+    main(batch=a.batch, n_points=a.points, grid=(a.grid,) * 3, iters=a.iters,
+         backend=a.backend)

@@ -53,7 +53,9 @@ class SceneNet:
     kernel_size: Tuple[int, int, int] = (9, 6, 6)
     version: str = "v2"
     last_lambda: str = "lambda_neg_0"
-    backend: str = "xla"  # "xla" | "pallas" (TPU-only fused stencil)
+    # "xla" | "pallas" (TPU fused stencil, f32-exact train path) |
+    # "pallas_mxu" (banded-y MXU train forward, split-bf16 near-f32)
+    backend: str = "xla"
 
     # ---- structure -------------------------------------------------------
 
@@ -153,6 +155,12 @@ class SceneNet:
         relative for general float grids), and not differentiable. Training
         keeps the default custom-VJP path.
 
+        ``backend="pallas_mxu"`` additionally routes the *training*
+        forward through the banded-y MXU stencil via
+        :func:`~scenenet_tpu.ops.pallas_conv.fused_geneo_conv_mxu`
+        (exact-f32 backward, near-f32 forward; ``inference=True`` then
+        also takes the MXU path).
+
         ``inference="mxu"`` (pallas backend) takes the banded-y MXU
         stencil (:func:`~scenenet_tpu.ops.pallas_conv.geneo_stencil_conv_mxu`,
         split-bf16): the k_y lane-rotates fold into 128-aligned MXU
@@ -168,13 +176,14 @@ class SceneNet:
             # the stencil kernel z-slabs the volume (VMEM-resident for
             # small grids, HBM-streamed via DMA for 128³+); any Z works —
             # non-slab-divisible extents are padded internally
-            if self.backend == "pallas":
+            if self.backend in ("pallas", "pallas_mxu"):
                 from scenenet_tpu.ops.pallas_conv import (
-                    fused_geneo_conv, geneo_stencil_conv,
-                    geneo_stencil_conv_mxu,
+                    fused_geneo_conv, fused_geneo_conv_mxu,
+                    geneo_stencil_conv, geneo_stencil_conv_mxu,
                 )
 
-                if inference == "mxu":
+                if inference == "mxu" or (inference and
+                                          self.backend == "pallas_mxu"):
                     return geneo_stencil_conv_mxu(
                         x.astype(jnp.float32),
                         combined.astype(jnp.float32),
@@ -184,6 +193,9 @@ class SceneNet:
                                               combined.astype(jnp.float32),
                                               activation=True,
                                               scratch_dtype="bf16")
+                if self.backend == "pallas_mxu":
+                    return fused_geneo_conv_mxu(x.astype(jnp.float32),
+                                                combined.astype(jnp.float32))
                 return fused_geneo_conv(x.astype(jnp.float32),
                                         combined.astype(jnp.float32))
             conv = conv3d_same(x, combined[None, None])

@@ -366,8 +366,10 @@ def geneo_stencil_conv_mxu(
     split: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Inference-only MXU formulation of :func:`geneo_stencil_conv`
+    """Banded-y MXU formulation of :func:`geneo_stencil_conv`
     (SAME conv + optional relu∘tanh; torch's asymmetric SAME rule).
+    Not differentiable by itself — training uses the
+    :func:`fused_geneo_conv_mxu` custom-VJP wrapper.
 
     Numerics: occupancy inputs ({0,1}) are exact in bf16; the kernel
     weights round to bf16 — ``split=True`` (default) adds the residual
@@ -787,6 +789,34 @@ def _fused_bwd(interpret, res, g):
 
 
 fused_geneo_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_geneo_conv_mxu(x: jnp.ndarray, kernel: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """relu(tanh(conv_same(x, kernel))) with the banded-y MXU forward
+    (:func:`geneo_stencil_conv_mxu`, split-bf16 — near-f32: max|Δ|
+    2.6e-5 for occupancy inputs) and the exact-f32 backward of
+    :func:`fused_geneo_conv` (Pallas ``stencil_dk`` for dk; the f32 VPU
+    stencil for dx — which XLA dead-code-eliminates in the standard
+    train step, where x is data, not a function of params).
+
+    Opt-in training path (``SceneNet(backend="pallas_mxu")``): the
+    forward rides the systolic array instead of the VPU tap chains; the
+    parameter gradients stay f32-exact up to the 2.6e-5 forward rounding
+    entering the activation cotangent.
+    """
+    return geneo_stencil_conv_mxu(x, kernel, activation=True, split=True,
+                                  interpret=interpret)
+
+
+def _fused_mxu_fwd(x, kernel, interpret):
+    out = geneo_stencil_conv_mxu(x, kernel, activation=True, split=True,
+                                 interpret=interpret)
+    return out, (x, kernel, out)
+
+
+fused_geneo_conv_mxu.defvjp(_fused_mxu_fwd, _fused_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -54,7 +54,7 @@ def shard_batch(batch, mesh: Mesh, batch_axis: str = "data",
 
 
 def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
-                         inference: bool = False) -> Callable:
+                         inference: "bool | str" = False) -> Callable:
     """jit'd forward with the batch sharded over ``data`` (and optionally Z
     over ``space``): XLA/GSPMD partitions the conv automatically for pure
     DP; with a space axis we run the explicit halo-exchange forward.
@@ -62,7 +62,9 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
     ``inference=True`` opts into the bf16-tap-scratch Pallas forward where
     the model backend allows it — bit-exact for {0,1} occupancy grids (the
     standard binarized pipeline), a ~1e-3 relative change for arbitrary
-    float grids, hence opt-in rather than default (ADVICE r2)."""
+    float grids, hence opt-in rather than default (ADVICE r2).
+    ``inference="mxu"`` passes through to the banded-y MXU stencil
+    (pure-DP path; the spatial halo path keeps the tap stencils)."""
     if space_axis is None:
         import inspect
 

@@ -65,7 +65,7 @@ class ExperimentConfig:
     auto_scale_batch_size: bool = False  # power-of-two OOM probe
     # "auto" → pallas on TPU, xla elsewhere. The fused Pallas stencil is
     # 4.1× the XLA conv for the full train step (see benchmarks/RESULTS.md)
-    model_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    model_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_mxu"
     cylinder_geneo: int = 1
     arrow_geneo: int = 1
     neg_sphere_geneo: int = 1

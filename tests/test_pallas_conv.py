@@ -479,6 +479,94 @@ class TestMxuStencilConv:
                                    atol=2e-4, rtol=1e-4)
 
 
+class TestFusedMxuVjp:
+    """Differentiable banded-y MXU forward (backend="pallas_mxu"): the
+    custom VJP pairs the split-bf16 MXU forward with the exact-f32
+    backward shared with fused_geneo_conv."""
+
+    def test_forward_and_grads_vs_xla(self):
+        from scenenet_tpu.ops.pallas_conv import fused_geneo_conv_mxu
+
+        rng = np.random.default_rng(41)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.6)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((9, 5, 5)).astype(np.float32))
+
+        def ref_loss(k):
+            out = jnp.maximum(jnp.tanh(conv3d_same(x, k[None, None])), 0.0)
+            return jnp.sum(out * out)
+
+        def mxu_loss(k):
+            out = fused_geneo_conv_mxu(x, k, True)
+            return jnp.sum(out * out)
+
+        ref_v, ref_g = jax.value_and_grad(ref_loss)(k)
+        v, g = jax.value_and_grad(mxu_loss)(k)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_input_grad_matches(self):
+        """dx (computed when x itself is differentiated — e.g. nested
+        models) matches the XLA conv cotangent."""
+        from scenenet_tpu.ops.pallas_conv import fused_geneo_conv_mxu
+
+        rng = np.random.default_rng(42)
+        # occupancy input: exact in the bf16 staging (the documented
+        # regime; general float inputs round at the input itself)
+        x = jnp.asarray((rng.random((1, 1, 16, 16, 16)) > 0.5)
+                        .astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3)).astype(np.float32))
+
+        def ref_loss(x):
+            return jnp.sum(jnp.maximum(
+                jnp.tanh(conv3d_same(x, k[None, None])), 0.0) ** 2)
+
+        def mxu_loss(x):
+            return jnp.sum(fused_geneo_conv_mxu(x, k, True) ** 2)
+
+        ref_g = jax.grad(ref_loss)(x)
+        g = jax.grad(mxu_loss)(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_model_backend_pallas_mxu_trains(self):
+        """SceneNet(backend="pallas_mxu"): value_and_grad over the model
+        params matches the XLA backend closely (near-f32 forward)."""
+        import scenenet_tpu.ops.pallas_conv as pc
+
+        net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
+                                      kernel_size=(9, 5, 5), seed=5,
+                                      backend="pallas_mxu")
+        import dataclasses
+        net_ref = dataclasses.replace(net, backend="xla")
+        rng = np.random.default_rng(43)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.5)
+                        .astype(np.float32))
+
+        orig = pc.fused_geneo_conv_mxu
+
+        def interp(x_, k_, interpret=False):
+            return orig(x_, k_, True)
+
+        pc_patch = pytest.MonkeyPatch()
+        pc_patch.setattr(pc, "fused_geneo_conv_mxu", interp)
+        try:
+            def loss(p, model):
+                return jnp.sum(model.apply(p, x) ** 2)
+
+            ref_v, ref_g = jax.value_and_grad(lambda p: loss(p, net_ref))(params)
+            v, g = jax.value_and_grad(lambda p: loss(p, net))(params)
+        finally:
+            pc_patch.undo()
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-4)
+        flat_r, _ = jax.tree_util.tree_flatten(ref_g)
+        flat_m, _ = jax.tree_util.tree_flatten(g)
+        for a, b in zip(flat_m, flat_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
 class TestTapDotsConv:
     """XLA-level im2col (per-tap dot_general) — VERDICT r2 #2: exact vs
     the conv lowering for multi-channel shapes (the UNet/CNN baselines)."""
