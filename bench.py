@@ -120,8 +120,9 @@ def _tpu_throughput(clouds) -> float:
         grids = voxelize_batch_occupancy(pts, mask, GRID)[:, None]
         # inference="mxu": banded-y MXU stencil, split-bf16 — 1.27× the
         # bf16-tap VPU stencil at this shape; conv max|Δ| 2.6e-5 vs f32
-        # (0.0028% τ-mask flips over 134M voxels, 365× tighter than the
-        # XLA conv lowering's own 9.5e-3 rounding — headline_mxu_ab.py)
+        # (verified on-chip AFTER the residual-zeroing fix — see
+        # banded_y_weights; "mxu_fast" drops the residual dot for the
+        # mask-only contract: 0.0028% τ-flips — headline_mxu_ab.py)
         pred = net.apply(params, grids, inference="mxu")
         return prob_to_label(pred, 0.65)
 

@@ -63,7 +63,11 @@ def main():
                          "reference's KITTI voxel config "
                          "(semKITTI.py:453: vxg (64,64,256))")
     ap.add_argument("--root", default="/tmp/kitti_bench")
+    ap.add_argument("--inference", default="bf16", choices=["bf16", "mxu"],
+                    help="conv forward: bf16 tap-scratch VPU stencil, or "
+                         "the banded-y MXU stencil")
     args = ap.parse_args()
+    inference = True if args.inference == "bf16" else "mxu"
 
     generate(args.root, args.scenes, args.points)
 
@@ -102,7 +106,7 @@ def main():
         hist, reg = voxelize_batch(pts, labels, mask, (POLE_LABEL,), grid)
         x = (hist > 0).astype(jnp.float32)[:, None]
         y = (reg > 0).astype(jnp.float32)[:, None]
-        pred = net.apply(params, x, inference=True)
+        pred = net.apply(params, x, inference=inference)
         return update_metrics(mstate, pred, y, 0.65)
 
     loader = PointCloudLoader(ds, batch_size=args.batch, num_workers=4,
@@ -132,7 +136,7 @@ def main():
     dt = (time.perf_counter() - t0) / 2
     per_batch = dt / ITERS
     rate = args.batch / per_batch
-    print(f"[eval] {per_batch*1e3:.1f} ms / {args.batch}-crop batch = "
+    print(f"[eval {args.inference}] {per_batch*1e3:.1f} ms / {args.batch}-crop batch = "
           f"{rate:.0f} crops/s on-device; untrained-model JaccardIndex "
           f"{m['JaccardIndex']:.3f} on {len(ds)} ETL crops")
 

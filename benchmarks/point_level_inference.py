@@ -16,7 +16,8 @@ import numpy as np
 FIXTURES = "/root/reference/data-sample"
 
 
-def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
+def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8,
+         inference=True):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +46,7 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
         # occupancy == (hist > 0) exactly, minus the normalization the
         # threshold would discard anyway
         x = voxelize_batch_occupancy(pts, mask, grid).astype(jnp.float32)[:, None]
-        pred = net.apply(params, x, inference=True)[:, 0]
+        pred = net.apply(params, x, inference=inference)[:, 0]
 
         def per_sample_flat(p, m):
             lo, hi = grid_bounds(p, m)
@@ -69,7 +70,7 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
     float(loop(params, pts_d, mask_d))
     dt = time.perf_counter() - t0
     n_pts = int(mask.sum())
-    print(f"point-level inference: {b * iters / dt:.0f} clouds/s "
+    print(f"point-level inference [{inference}]: {b * iters / dt:.0f} clouds/s "
           f"({n_pts * iters / dt / 1e6:.1f} M points/s)")
 
     tp = float(((labels == 1) & (gt == 1) & mask).sum())
@@ -81,4 +82,11 @@ def main(grid=(64, 64, 64), max_points=81920, tau=0.65, iters=8):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inference", default="bf16", choices=["bf16", "mxu"],
+                    help="conv forward: bf16 tap-scratch VPU stencil, or "
+                         "the banded-y MXU stencil")
+    args = ap.parse_args()
+    main(inference=True if args.inference == "bf16" else "mxu")

@@ -163,16 +163,21 @@ class SceneNet:
 
         ``inference="mxu"`` (pallas backend) takes the banded-y MXU
         stencil (:func:`~scenenet_tpu.ops.pallas_conv.geneo_stencil_conv_mxu`,
-        split-bf16): the k_y lane-rotates fold into 128-aligned MXU
-        contractions — measured 1.27× the bf16-scratch stencil at the
-        headline shape with max|Δ| 2.6e-5 and ZERO τ=0.65 mask flips over
-        33.5 M voxels (``benchmarks/conv_mxu.py``). Non-VMEM-resident
-        volumes fall back to the streamed stencil automatically.
+        split-bf16, near-f32 — max|Δ| ~5e-6 class): the k_y lane-rotates
+        fold into 128-aligned MXU contractions. ``inference="mxu_fast"``
+        drops the residual dot (single-bf16: ~1e-2-class probability
+        deltas, growing with kernel magnitude — measured 0.0028% τ=0.65
+        mask flips over 134 M voxels end-to-end at the headline shape):
+        the right choice when the output is the thresholded mask.
+        Non-VMEM-resident volumes fall back to the streamed MXU variant
+        automatically.
         """
         kernels = self.synthesize_kernels(params).astype(x.dtype)
         lams = self.effective_lambdas(params).astype(x.dtype)
         if fuse_observers:
-            combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
+            # elementwise, NOT an einsum: a TPU dot at default matmul
+            # precision would bf16-round the synthesized kernels
+            combined = jnp.sum(lams[:, None, None, None] * kernels, axis=0)
             # the stencil kernel z-slabs the volume (VMEM-resident for
             # small grids, HBM-streamed via DMA for 128³+); any Z works —
             # non-slab-divisible extents are padded internally
@@ -182,12 +187,12 @@ class SceneNet:
                     geneo_stencil_conv, geneo_stencil_conv_mxu,
                 )
 
-                if inference == "mxu" or (inference and
-                                          self.backend == "pallas_mxu"):
+                if inference in ("mxu", "mxu_fast") or (
+                        inference and self.backend == "pallas_mxu"):
                     return geneo_stencil_conv_mxu(
                         x.astype(jnp.float32),
                         combined.astype(jnp.float32),
-                        activation=True, split=True)
+                        activation=True, split=inference != "mxu_fast")
                 if inference:
                     return geneo_stencil_conv(x.astype(jnp.float32),
                                               combined.astype(jnp.float32),
@@ -201,7 +206,8 @@ class SceneNet:
             conv = conv3d_same(x, combined[None, None])
         else:
             conv = conv3d_same(x, kernels[:, None])
-            conv = jnp.einsum("g,bgzxy->bzxy", lams, conv)[:, None]
+            conv = jnp.sum(lams[None, :, None, None, None] * conv,
+                           axis=1)[:, None]
         return jax.nn.relu(jnp.tanh(conv))
 
     def observer_responses(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
@@ -308,8 +314,12 @@ class QuantileSceneNet:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
         return model, stacked
 
-    def apply(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
-        pred = jax.vmap(lambda p: self.net.apply(p, x))(params)  # (Q, B, 1, ...)
+    def apply(self, params: Mapping, x: jnp.ndarray,
+              inference: "bool | str" = False) -> jnp.ndarray:
+        """``inference`` forwards to each member's :meth:`SceneNet.apply`
+        (``True`` = bf16 tap-scratch stencil, ``"mxu"`` = banded-y MXU)."""
+        pred = jax.vmap(
+            lambda p: self.net.apply(p, x, inference=inference))(params)
         return jnp.moveaxis(pred[:, :, 0], 0, 1)  # (B, Q, Z, X, Y)
 
     def _member(self, params, q: int):

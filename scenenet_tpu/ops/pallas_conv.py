@@ -246,22 +246,47 @@ def _band_eyes(k_y: int, yy: int, kp: int):
     return _EYES_CACHE[key]
 
 
+_LO_SCALE = 512.0  # 2^9: shifts the residual into bf16's mantissa window
+_INV_LO_SCALE = 1.0 / 512.0
+
+
 def banded_y_weights(kernel: jnp.ndarray, yy: int, kp: int,
                      split: bool) -> jnp.ndarray:
     """(k_z, k_x, k_y) kernel → (1|2, k_z, k_x, kp, yy) banded bf16
     matrices with B_y[dz, dx][y+dy, y] = k[dz, dx, dy] (jit-friendly:
-    one einsum against static shifted identities, built per forward from
-    the synthesized GENEO kernel). ``split=True`` adds the bf16 residual
+    placed elementwise against static shifted identities, built per
+    forward from the synthesized GENEO kernel). ``split=True`` adds the
+    bf16 residual
     (B − bf16(B)) as a second matrix — two MXU dots recover near-f32
-    accuracy (measured max|Δ| 2.6e-5 and ZERO τ=0.65 mask flips over
-    33.5M voxels vs the f32 stencil; single bf16 is ~1.8e-2 / 0.003%)."""
+    accuracy (measured on-chip max|Δ| 2.6e-5 vs the f32 stencil, after
+    the residual-zeroing fix below; single bf16 is ~3.9e-3 on the
+    probabilities / 0.0028% τ=0.65 mask flips end-to-end)."""
     k_y = kernel.shape[2]
     eyes = jnp.asarray(_band_eyes(k_y, yy, kp))
-    band = jnp.einsum("abd,dky->abky", kernel.astype(jnp.float32), eyes)
+    # Elementwise placement, NOT an einsum: a TPU dot at default matmul
+    # precision truncates its f32 inputs to bf16, which would make `band`
+    # bf16-valued and the residual identically zero before the
+    # convert-elision below even enters.
+    band = jnp.sum(kernel.astype(jnp.float32)[:, :, :, None, None]
+                   * eyes[None, None], axis=2)
     hi = band.astype(jnp.bfloat16)
     if not split:
         return hi[None]
-    lo = (band - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # reduce_precision is load-bearing: writing the residual as
+    # `band - band.astype(bf16).astype(f32)` produces IDENTICALLY ZERO on
+    # TPU — XLA's allow_excess_precision (default-on) elides the
+    # f32→bf16→f32 convert pair, so the subtraction cancels exactly.
+    # Found on-chip: the production split output was bit-identical to
+    # single-bf16 (max|Δ| 3.9e-3 vs f32) while CPU/interpret showed the
+    # intended ~5e-6; `jnp.abs(by[1]).max()` on TPU was 0.0 over all
+    # 368,640 entries. lax.reduce_precision(·, 8, 7) performs the bf16
+    # value-rounding in f32 and is never elided. The residual also ships
+    # PRE-SCALED by 2^9 (the kernels scale the lo dot's f32 result back
+    # down — exact power-of-two) so the two same-lhs dots cannot be
+    # algebraically merged back into one bf16 matrix either.
+    hi_val = jax.lax.reduce_precision(band, exponent_bits=8,
+                                      mantissa_bits=7)
+    lo = ((band - hi_val) * _LO_SCALE).astype(jnp.bfloat16)
     return jnp.stack([hi, lo])
 
 
@@ -292,8 +317,11 @@ def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, *, kernel_size,
             d = lax.dot_general(s, by_ref[0, dz, dx], dims,
                                 preferred_element_type=jnp.float32)
             if split:
-                d += lax.dot_general(s, by_ref[1, dz, dx], dims,
-                                     preferred_element_type=jnp.float32)
+                # residual ships ×2^9; the scale-back keeps the two dots
+                # unmergeable (see banded_y_weights)
+                d += _INV_LO_SCALE * lax.dot_general(
+                    s, by_ref[1, dz, dx], dims,
+                    preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
         if dx == 0:
             o_ref[0] = acc
@@ -332,8 +360,10 @@ def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
                 d = lax.dot_general(s, by_ref[0, dz, dx], dims,
                                     preferred_element_type=jnp.float32)
                 if split:
-                    d += lax.dot_general(s, by_ref[1, dz, dx], dims,
-                                         preferred_element_type=jnp.float32)
+                    # residual ships ×2^9 (see banded_y_weights)
+                    d += _INV_LO_SCALE * lax.dot_general(
+                        s, by_ref[1, dz, dx], dims,
+                        preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
             if dx == 0:
                 out_vmem[...] = acc
@@ -898,5 +928,5 @@ def scenenet_forward_pallas(model, params, x: jnp.ndarray,
     VJP, so it drops into training."""
     kernels = model.synthesize_kernels(params).astype(jnp.float32)
     lams = model.effective_lambdas(params).astype(jnp.float32)
-    combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
+    combined = jnp.sum(lams[:, None, None, None] * kernels, axis=0)
     return fused_geneo_conv(x.astype(jnp.float32), combined, interpret)

@@ -195,7 +195,9 @@ def spatial_scenenet_forward(
     """
     kernels = model.synthesize_kernels(params).astype(x_local.dtype)
     lams = model.effective_lambdas(params).astype(x_local.dtype)
-    combined = jnp.einsum("g,gzxy->zxy", lams, kernels)
+    # elementwise, NOT an einsum: a TPU dot at default matmul precision
+    # would bf16-round the synthesized kernels
+    combined = jnp.sum(lams[:, None, None, None] * kernels, axis=0)
     return halo_conv3d(
         x_local, combined[None, None], axis_name,
         backend=getattr(model, "backend", "xla"),

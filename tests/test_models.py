@@ -168,6 +168,29 @@ class TestQuantilePallasBackend:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_vmapped_inference_kwarg_forwards(self, monkeypatch):
+        """QuantileSceneNet.apply(inference=...) reaches each member's
+        inference forward: the banded-y MXU path (interpret mode) matches
+        the XLA ensemble within split-bf16 tolerance."""
+        import scenenet_tpu.ops.pallas_conv as pc
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray((rng.random((2, 1, 16, 16, 16)) > 0.7)
+                        .astype(np.float32))
+        ref_m, ref_p = QuantileSceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        pal_m, pal_p = QuantileSceneNet.create(kernel_size=(9, 5, 5), seed=3,
+                                               backend="pallas")
+        orig = pc.geneo_stencil_conv_mxu
+        monkeypatch.setattr(
+            pc, "geneo_stencil_conv_mxu",
+            lambda x, k, activation=True, split=True: orig(
+                x, k, activation=activation, split=split, interpret=True))
+        ref = ref_m.apply(ref_p, x)
+        out = pal_m.apply(pal_p, x, inference="mxu")
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
     def test_cli_builds_quantile_model(self):
         from scenenet_tpu.cli.train import build_model
         from scenenet_tpu.utils.config import ExperimentConfig

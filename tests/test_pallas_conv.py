@@ -300,6 +300,51 @@ class TestBf16Scratch:
         out = net.apply(params, x, inference="mxu")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=1e-4)
+        # "mxu_fast" drops the residual dot — single-bf16 tolerance
+        fast = net.apply(params, x, inference="mxu_fast")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_banded_residual_survives_xla(self):
+        """Regression guard for the on-chip residual-zeroing bug: the
+        split residual MUST be computed via lax.reduce_precision.
+        Written as `band - band.astype(bf16).astype(f32)`, XLA's
+        allow_excess_precision (default-on) elides the f32→bf16→f32
+        convert pair ON TPU and the residual cancels to identically
+        zero — the split banded-y conv then silently degrades to
+        single-bf16 (measured max|Δ| 3.9e-3 instead of ~5e-6; CPU and
+        interpret mode keep f32 converts, so only the jaxpr structure
+        is checkable here."""
+        from scenenet_tpu.ops.pallas_conv import banded_y_weights
+
+        k = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((9, 5, 5)).astype(np.float32))
+        jaxpr = jax.make_jaxpr(
+            lambda k: banded_y_weights(k, 64, 128, True))(k)
+        prims = {eqn.primitive.name for eqn in jaxpr.jaxpr.eqns}
+        assert "reduce_precision" in prims, (
+            "banded residual no longer uses lax.reduce_precision — on TPU "
+            "the convert-pair form cancels to zero and split silently "
+            "degrades to single-bf16")
+        by = banded_y_weights(k, 16, 128, True)
+        hi = np.asarray(by[0], np.float32)
+        lo = np.asarray(by[1], np.float32)
+        assert np.abs(lo).max() > 0  # residual present (×512 pre-scale)
+        # reconstruction hi + lo/512 recovers the f32 band to ~2^-18 rel
+        # wherever the band is nonzero (the true band is k placed on the
+        # (y+dy, y) diagonals — recompute it in numpy)
+        import ml_dtypes
+
+        kn = np.asarray(k, np.float64)
+        expect_lo = (kn - kn.astype(ml_dtypes.bfloat16)
+                     .astype(np.float64)) * 512.0
+        got = lo[np.nonzero(lo)]
+        np.testing.assert_allclose(
+            np.sort(np.unique(np.abs(got))),
+            np.sort(np.unique(np.abs(expect_lo[expect_lo != 0]
+                                     .astype(ml_dtypes.bfloat16)
+                                     .astype(np.float64)))),
+            rtol=1e-6)
 
 
 class TestHBMStreamedDk:
