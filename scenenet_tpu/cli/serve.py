@@ -30,7 +30,8 @@ import numpy as np
 
 class _Pipeline:
     def __init__(self, checkpoint: str | None, grid=(64, 64, 64),
-                 max_points: int = 131072, kernel_size=(9, 5, 5)):
+                 max_points: int = 131072, kernel_size=(9, 5, 5),
+                 inference: "bool | str" = True):
         import jax
         import jax.numpy as jnp
 
@@ -54,8 +55,10 @@ class _Pipeline:
             hist = voxelize_batch_hist(pts[None], mask[None], grid)
             x = (hist > 0).astype(jnp.float32)[:, None]
             # binarized occupancy input → the bf16-scratch inference
-            # forward is bit-exact here
-            pred = self.net.apply(params, x, inference=True)[0, 0]
+            # forward is bit-exact here; "mxu"/"mxu_fast" ride the
+            # banded-y MXU stencil (near-f32 / single-bf16)
+            infer = inference if self.net.backend != "xla" else False
+            pred = self.net.apply(params, x, inference=infer)[0, 0]
             lo, hi = grid_bounds(pts, mask)
             flat = _flat_zxy_idx(voxel_indices(pts, lo, hi, grid), grid)
             probs = gather_point_values(pred, flat, mask)
@@ -134,9 +137,17 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8400)
     parser.add_argument("--grid", type=int, default=64)
     parser.add_argument("--max-points", type=int, default=131072)
+    parser.add_argument("--inference", default="bf16",
+                        choices=["bf16", "mxu", "mxu_fast"],
+                        help="conv forward on TPU: bf16 tap-scratch VPU "
+                             "stencil (bit-exact on occupancy), banded-y "
+                             "MXU split (near-f32), or single-bf16 MXU "
+                             "(fastest; for mask-only consumers)")
     args = parser.parse_args(argv)
 
-    pipeline = _Pipeline(args.checkpoint, (args.grid,) * 3, args.max_points)
+    inference = True if args.inference == "bf16" else args.inference
+    pipeline = _Pipeline(args.checkpoint, (args.grid,) * 3, args.max_points,
+                         inference=inference)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(pipeline))
     print(f"serving SCENE-Net on http://127.0.0.1:{args.port} "
           f"(grid {args.grid}³, ≤{args.max_points} pts)")
