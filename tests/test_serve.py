@@ -43,6 +43,20 @@ class TestServe:
         assert out["voxel_pred"].shape == (16, 16, 16)
         assert set(np.unique(out["mask"])).issubset({0.0, 1.0})
 
+    def test_inference_flag_pipeline(self):
+        """--inference mxu_fast builds a working pipeline (on the CPU
+        test backend the knob is inert — the xla path ignores it — but
+        the flag parsing and plumbing through _Pipeline must hold)."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        p = _Pipeline(None, grid=(16, 16, 16), max_points=4096,
+                      inference="mxu_fast")
+        rng = np.random.default_rng(1)
+        pred, probs = p.predict(rng.uniform(0, 20, (500, 3))
+                                .astype(np.float32))
+        assert probs.shape == (500,)
+        assert np.isfinite(probs).all()
+
     def test_export_torch_state_dict_roundtrip(self, tmp_path):
         import torch
 
