@@ -358,8 +358,13 @@ def pallas_sorted_bin_counts(
     interpret: bool = False,
     channels: int = 2,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """(B, N) flat bin ids → (B, size) counts [, weighted counts] via the
-    hierarchical sorted two-level kernel.
+    """(B, N) flat bin ids → (B, size) counts [, indicator-weighted counts]
+    via the hierarchical sorted two-level kernel.
+
+    ``weights`` must be {0,1} indicators (the tower-point flags of the
+    two-channel voxelization, same contract as :func:`pallas_bin_counts`):
+    the second channel counts points whose weight is NONZERO — it is a
+    per-bin count of flagged points, not a sum of arbitrary weights.
 
     Sorts (ids, weight) per sample (masked points get a beyond-range
     sentinel and sort to the tail, outside every slab's run), locates the

@@ -323,6 +323,17 @@ def _is_tower(labels: jnp.ndarray, keep_labels: Tuple[int, ...]) -> jnp.ndarray:
     return is_tower
 
 
+def _use_sorted_hist(n_hi: int, n_points: int, size: int) -> bool:
+    """Route predicate shared by the TPU histogram paths: take the
+    hierarchical sorted kernel when the flat kernel's whole-accumulator
+    VMEM block cannot fit (n_hi > 4096 — 64 MB/channel at 256³-class
+    grids, over the scoped budget regardless of MAC volume) or when the
+    per-sample MAC volume (points × bins) is large enough to amortize the
+    id+sort prefix (measured crossover ~1e11, RESULTS.md "128³ training";
+    below n_hi=512 the flat kernel is always right)."""
+    return n_hi > 4096 or (n_hi > 512 and n_points * size >= int(1e11))
+
+
 def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
     """TPU route for the batched two-channel histogram: the fused
     raw-points kernel by default; the hierarchical sorted two-level kernel
@@ -337,7 +348,7 @@ def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
     """
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    if -(-size // _MXU_LO) > 512 and points.shape[1] * size >= int(1e11):
+    if _use_sorted_hist(-(-size // _MXU_LO), points.shape[1], size):
         from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
 
         # ids stay in XLA: the Pallas in-kernel-bounds id kernel
@@ -365,8 +376,7 @@ def _tpu_occupancy_counts(points, mask, grid_shape):
     Large grids take the hierarchical sorted kernel with auto slab count."""
     n_x, n_y, n_z = grid_shape
     size = n_x * n_y * n_z
-    n_hi = -(-size // _MXU_LO)
-    if n_hi > 4096 or (n_hi > 512 and points.shape[1] * size >= int(1e11)):
+    if _use_sorted_hist(-(-size // _MXU_LO), points.shape[1], size):
         from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
 
         def per_sample_flat(p, m):

@@ -54,7 +54,8 @@ def shard_batch(batch, mesh: Mesh, batch_axis: str = "data",
 
 
 def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
-                         inference: "bool | str" = False) -> Callable:
+                         inference: "bool | str" = False,
+                         overlap: bool = False) -> Callable:
     """jit'd forward with the batch sharded over ``data`` (and optionally Z
     over ``space``): XLA/GSPMD partitions the conv automatically for pure
     DP; with a space axis we run the explicit halo-exchange forward.
@@ -64,7 +65,11 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
     standard binarized pipeline), a ~1e-3 relative change for arbitrary
     float grids, hence opt-in rather than default (ADVICE r2).
     ``inference="mxu"`` passes through to the banded-y MXU stencil
-    (pure-DP path; the spatial halo path keeps the tap stencils)."""
+    (pure-DP path; the spatial halo path keeps the tap stencils).
+    ``overlap=True`` (spatial path only) splits the halo conv so the ICI
+    transfer overlaps the interior compute — see
+    :func:`scenenet_tpu.parallel.spatial.halo_conv3d` for the measured
+    regime where that pays."""
     if space_axis is None:
         import inspect
 
@@ -88,7 +93,8 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
 
     fwd = shard_map(
         lambda params, x: spatial_scenenet_forward(model, params, x, space_axis,
-                                                   inference=inference),
+                                                   inference=inference,
+                                                   overlap=overlap),
         mesh=mesh,
         in_specs=(P(), P("data", None, space_axis, None, None)),
         out_specs=P("data", None, space_axis, None, None),
@@ -115,10 +121,13 @@ def make_sharded_train_step(
     tau: float = 0.65,
     batch_axis: str = "data",
     space_axis: str = "space",
+    overlap: bool = False,
 ) -> Callable:
     """Full (DP × spatial) train step: returns jit'd
     ``step(state, mstate, x, y) -> (state, mstate, loss)`` where x/y are
     (B, 1, Z, X, Y) host arrays; sharding is applied inside.
+    ``overlap=True`` uses the overlapped halo-exchange conv (forward AND
+    its AD-derived backward run through the split formulation).
     """
     axes = (batch_axis, space_axis)
     dist_criterion = make_distributed(criterion, axes)
@@ -126,7 +135,8 @@ def make_sharded_train_step(
 
     def local_step(state: TrainState, mstate: MetricState, x, y):
         def loss_fn(params):
-            pred = spatial_scenenet_forward(model, params, x, space_axis)
+            pred = spatial_scenenet_forward(model, params, x, space_axis,
+                                            overlap=overlap)
             cvx = model.cvx_coefficients(params)
             geneo = model.geneo_params_flat(params)
             return dist_criterion(pred, y, cvx, geneo, last), pred

@@ -31,11 +31,19 @@ def _flatten(tree: Any) -> Dict[str, np.ndarray]:
 
 
 def save_checkpoint(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
+    """Atomic: a crash (e.g. SIGKILL after the preemption grace period)
+    mid-write must never leave a truncated file that a later auto-resume
+    would load — write to a temp name, then ``os.replace``."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **_flatten(tree))
+    stem = path[:-4] if path.endswith(".npz") else path
+    tmp = stem + ".tmp.npz"
+    np.savez(tmp, **_flatten(tree))
+    os.replace(tmp, stem + ".npz")
     if metadata is not None:
-        with open(path.replace(".npz", "") + ".json", "w") as f:
+        side = stem + ".json"
+        with open(side + ".tmp", "w") as f:
             json.dump(metadata, f, indent=2, default=float)
+        os.replace(side + ".tmp", side)
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
@@ -196,11 +204,7 @@ def restore_checkpoint_sharded(path_prefix: str, template: Any) -> Any:
             if entry not in data:
                 raise KeyError(f"checkpoint missing shard {entry!r}")
             singles.append(jax.device_put(
-                jnp_asarray_like(data[entry], leaf.dtype), s.device))
+                np.asarray(data[entry], dtype=leaf.dtype), s.device))
         out.append(jax.make_array_from_single_device_arrays(
             leaf.shape, leaf.sharding, singles))
     return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def jnp_asarray_like(a: np.ndarray, dtype) -> np.ndarray:
-    return np.asarray(a, dtype=dtype)

@@ -84,6 +84,21 @@ class TrainConfig:
     # steps (0 = only on SIGTERM / epoch boundaries)
 
 
+def _monitor_modes() -> Dict[str, str]:
+    """Metric → 'max'|'min' map for the per-metric top-k checkpoints: both
+    the train_ and val_ variants, so ``restore_best('val_loss')`` works for
+    exactly the metrics users early-stop on (CheckpointManager skips any
+    monitor absent from an epoch's scores, so val-less runs are unaffected).
+    """
+    monitors = {}
+    for m in METRIC_NAMES:
+        monitors[f"train_{m}"] = "max"
+        monitors[f"val_{m}"] = "max"
+    monitors["train_loss"] = "min"
+    monitors["val_loss"] = "min"
+    return monitors
+
+
 def make_device_voxelize_prep(grid_shape=(64, 64, 64), keep_labels=(15,),
                               binarize=(True, True), use_indices=True):
     """Build a jittable ``batch_prep`` fusing voxelization into the train
@@ -255,7 +270,8 @@ class Trainer:
         from scenenet_tpu.train.preempt import (
             SNAPSHOT_NAME,
             PreemptionGuard,
-            restore_train_snapshot,
+            discard_snapshot,
+            load_train_snapshot_if_compatible,
             save_train_snapshot,
         )
 
@@ -277,9 +293,8 @@ class Trainer:
         self._tx = tx
         train_step, eval_step = self._build_steps(tx)
 
-        monitors = {f"train_{m}": "max" for m in METRIC_NAMES}
-        monitors["train_loss"] = "min"
-        ckpt = CheckpointManager(cfg.checkpoint_dir, monitors, top_k=cfg.checkpoint_top_k)
+        ckpt = CheckpointManager(cfg.checkpoint_dir, _monitor_modes(),
+                                 top_k=cfg.checkpoint_top_k)
         stopper = (
             EarlyStopping(cfg.early_stop_metric, cfg.early_stop_patience)
             if cfg.early_stop_metric
@@ -293,11 +308,13 @@ class Trainer:
         epoch, skip_batches = 0, 0
         mstate, loss_sum, loss_count = init_metric_state(), jnp.zeros(()), 0
         if resume_from is not None:
-            state, mstate, loss_sum, _, cursor = restore_train_snapshot(
-                resume_from, state, {})
-            epoch = int(cursor["epoch"])
-            skip_batches = int(cursor["next_batch"])
-            loss_count = int(cursor["loss_count"])
+            restored = load_train_snapshot_if_compatible(
+                resume_from, state, {}, kind="batch")
+            if restored is not None:
+                state, mstate, loss_sum, _, cursor = restored
+                epoch = int(cursor["epoch"])
+                skip_batches = int(cursor["next_batch"])
+                loss_count = int(cursor["loss_count"])
 
         guard = PreemptionGuard()
         guard.__enter__()
@@ -311,7 +328,11 @@ class Trainer:
                 if not skip_batches:
                     mstate, loss_sum, loss_count = (init_metric_state(),
                                                     jnp.zeros(()), 0)
-                last_snap_step = int(state.step)
+                # host-side batch counter for the snapshot schedule: reading
+                # int(state.step) per batch would sync host↔device every
+                # step and defeat async dispatch (it advances 1:1 with the
+                # batches this loop feeds, accumulation or not)
+                since_snap = 0
                 grad_logged = False
                 for bi, batch in enumerate(train_loader):
                     if bi < skip_batches:
@@ -320,17 +341,18 @@ class Trainer:
                     state, mstate, loss, grads = train_step(state, mstate, *batch)
                     loss_sum = loss_sum + loss
                     loss_count += 1
+                    since_snap += 1
                     snap_due = (
                         cfg.checkpoint_every_n_steps > 0
-                        and int(state.step) - last_snap_step
-                        >= cfg.checkpoint_every_n_steps)
+                        and since_snap >= cfg.checkpoint_every_n_steps)
                     if guard.triggered or snap_due:
                         save_train_snapshot(
                             snap_path, state, mstate, loss_sum, {},
-                            {"epoch": epoch, "next_batch": bi + 1,
+                            {"kind": "batch", "epoch": epoch,
+                             "next_batch": bi + 1,
                              "loss_count": loss_count,
                              "step": int(state.step)})
-                        last_snap_step = int(state.step)
+                        since_snap = 0
                         if guard.triggered:
                             self.preempted = True
                             print(f"[preempt] SIGTERM: snapshot flushed to "
@@ -404,6 +426,10 @@ class Trainer:
         finally:
             guard.__exit__()
 
+        # completed normally: a leftover snapshot (this run's periodic one,
+        # or the consumed resume source) must not hijack the NEXT launch of
+        # this experiment into a no-op "resume" past max_epochs
+        discard_snapshot(snap_path)
         self._ckpt = ckpt
         if self._stateful:
             return {"params": state.params, **(state.model_state or {})}, self.best.best
@@ -695,14 +721,13 @@ class Trainer:
             SNAPSHOT_NAME,
             PreemptionGuard,
             chunk_starts,
-            restore_train_snapshot,
+            discard_snapshot,
+            load_train_snapshot_if_compatible,
             save_train_snapshot,
         )
 
         cfg = self.config
-        monitors = {f"train_{m}": "max" for m in METRIC_NAMES}
-        monitors["train_loss"] = "min"
-        ckpt = CheckpointManager(cfg.checkpoint_dir, monitors,
+        ckpt = CheckpointManager(cfg.checkpoint_dir, _monitor_modes(),
                                  top_k=cfg.checkpoint_top_k)
         stopper = (EarlyStopping(cfg.early_stop_metric, cfg.early_stop_patience)
                    if cfg.early_stop_metric else None)
@@ -715,21 +740,24 @@ class Trainer:
         kperm = aug_key = mstate = loss_sum = None
         if resume_from is not None:
             keys_t = {"outer": key, "kperm": key, "aug": key}
-            state, mstate, loss_sum, keys, cursor = restore_train_snapshot(
-                resume_from, state, keys_t)
-            key = jnp.asarray(keys["outer"])
-            kperm = jnp.asarray(keys["kperm"])
-            aug_key = jnp.asarray(keys["aug"])
-            epoch, start_chunk = int(cursor["epoch"]), int(cursor["next_chunk"])
-            mid_epoch = start_chunk < len(chunks)
-            if not mid_epoch:
-                epoch, start_chunk = epoch + 1, 0
+            restored = load_train_snapshot_if_compatible(
+                resume_from, state, keys_t, kind="chunk")
+            if restored is not None:
+                state, mstate, loss_sum, keys, cursor = restored
+                key = jnp.asarray(keys["outer"])
+                kperm = jnp.asarray(keys["kperm"])
+                aug_key = jnp.asarray(keys["aug"])
+                epoch, start_chunk = (int(cursor["epoch"]),
+                                      int(cursor["next_chunk"]))
+                mid_epoch = start_chunk < len(chunks)
+                if not mid_epoch:
+                    epoch, start_chunk = epoch + 1, 0
 
         def flush(next_chunk):
             save_train_snapshot(
                 snap_path, state, mstate, loss_sum,
                 {"outer": key, "kperm": kperm, "aug": aug_key},
-                {"epoch": epoch, "next_chunk": next_chunk,
+                {"kind": "chunk", "epoch": epoch, "next_chunk": next_chunk,
                  "step": int(state.step)})
             return snap_path
 
@@ -792,6 +820,8 @@ class Trainer:
                     break
                 epoch += 1
 
+        # completed normally → the snapshot must not hijack the next launch
+        discard_snapshot(snap_path)
         self._ckpt = ckpt
         return state.params, self.best.best
 

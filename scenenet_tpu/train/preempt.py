@@ -124,6 +124,44 @@ def restore_train_snapshot(
             tree["keys"], cursor)
 
 
+def load_train_snapshot_if_compatible(
+    path: str, state_template: Any, keys_template: Dict[str, Any],
+    kind: str,
+) -> Optional[Tuple[Any, MetricState, jnp.ndarray, Dict[str, Any],
+                    Dict[str, Any]]]:
+    """Tolerant resume: :func:`restore_train_snapshot`, but returns ``None``
+    (with a warning) instead of raising when the snapshot is unusable —
+    corrupt/truncated file, a different params structure, or a cursor
+    written by a different fit pipeline (``cursor['kind']`` is 'batch' for
+    the per-batch loop, 'chunk' for the scan-epoch loops — e.g. when
+    ``device_cache: auto`` resolves differently across launches). A fresh
+    run is always preferable to a crash at resume time."""
+    try:
+        out = restore_train_snapshot(path, state_template, keys_template)
+    except Exception as exc:  # corrupt zip / missing key / shape mismatch
+        print(f"[preempt] snapshot {path} unusable ({type(exc).__name__}: "
+              f"{exc}); starting fresh")
+        return None
+    cursor = out[-1]
+    if cursor.get("kind", kind) != kind:
+        print(f"[preempt] snapshot {path} was written by the "
+              f"'{cursor['kind']}' fit pipeline, this run uses '{kind}'; "
+              f"starting fresh")
+        return None
+    return out
+
+
+def discard_snapshot(path: str) -> None:
+    """Remove a consumed/obsolete snapshot (+ sidecar). Called at the end
+    of a successful fit so a later launch of the same experiment starts
+    fresh instead of silently resuming a stale position."""
+    import os
+
+    for p in (path, path.replace(".npz", "") + ".json"):
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def chunk_starts(n_batches: int, n_chunks: int):
     """Split ``n_batches`` into ``min(n_chunks, n_batches)`` contiguous
     chunks: list of (start_batch, length) with at most two distinct

@@ -184,7 +184,7 @@ crit = resolve_criterion("geneo_tversky")(
     weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
     tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
 state, tx = create_train_state(params, "sgd", 1e-2, net.trainable_mask(params))
-step = make_sharded_train_step(net, crit, tx, mesh)
+step = make_sharded_train_step(net, crit, tx, mesh, overlap=True)
 mstate = init_metric_state()
 new_state, mstate, loss = step(state, mstate, gx, gy)
 

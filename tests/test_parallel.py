@@ -278,7 +278,9 @@ class TestOverlappedHalo:
         def sharded_loss(p, xs, ys):
             fn = shard_map(
                 lambda p, xs, ys: crit_dist(
-                    spatial_scenenet_forward(net, p, xs, "space"), ys, {}, {}, None),
+                    spatial_scenenet_forward(net, p, xs, "space",
+                                             overlap=True),
+                    ys, {}, {}, None),
                 mesh=mesh,
                 in_specs=(P(), P(None, None, "space", None, None),
                           P(None, None, "space", None, None)),

@@ -124,7 +124,8 @@ class TestProgrammaticPreemption:
         assert os.path.exists(snap)
         with open(snap.replace(".npz", ".json")) as f:
             cursor = json.load(f)["cursor"]
-        assert cursor == {"epoch": 0, "next_chunk": 1, "step": 3}
+        assert cursor == {"kind": "chunk", "epoch": 0, "next_chunk": 1,
+                          "step": 3}
 
         t2, params2 = _trainer(tmp_path, "k2", max_epochs=3, epoch_chunks=4)
         got, _ = t2.fit_grid_cached(params2, grids, batch_size=4, augment=True,
@@ -306,3 +307,90 @@ class TestRealSigtermKill:
         assert sorted(a.files) == sorted(b.files)
         for k in a.files:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+class TestSnapshotLifecycle:
+    """Round-3 hardening: a snapshot must never hijack a LATER run —
+    consumed/periodic snapshots are discarded on normal completion, and an
+    unusable snapshot (corrupt file, different fit pipeline) degrades to a
+    fresh start instead of a crash at resume time."""
+
+    def test_discarded_after_completed_scan_fit(self, tmp_path):
+        grids = _GridBox(16, 12, 1)
+        t, params = _trainer(tmp_path, "d", max_epochs=2, epoch_chunks=2,
+                             checkpoint_every_n_steps=1)
+        t.fit_grid_cached(params, grids, batch_size=4, augment=False,
+                          key=jax.random.PRNGKey(0))
+        assert not t.preempted
+        # periodic snapshots were written during the run, then cleaned up
+        snap = os.path.join(t.config.checkpoint_dir, "preempt.npz")
+        assert not os.path.exists(snap)
+        assert not os.path.exists(snap.replace(".npz", ".json"))
+
+    def test_discarded_after_completed_batch_fit(self, tmp_path):
+        rng = np.random.default_rng(0)
+        batches = [((rng.random((2, 1, 12, 12, 12)) > 0.9).astype(np.float32),
+                    (rng.random((2, 1, 12, 12, 12)) > 0.97).astype(np.float32))
+                   for _ in range(4)]
+        t, params = _trainer(tmp_path, "db", max_epochs=1,
+                             checkpoint_every_n_steps=2)
+        t.fit(params, batches)
+        assert not t.preempted
+        assert not os.path.exists(
+            os.path.join(t.config.checkpoint_dir, "preempt.npz"))
+
+    def test_corrupt_snapshot_starts_fresh(self, tmp_path, capsys):
+        """A SIGKILL can truncate the write of an older (pre-atomic)
+        snapshot; auto-resume must not crash-loop on it."""
+        grids = _GridBox(16, 12, 1)
+        t, params = _trainer(tmp_path, "c", max_epochs=1, epoch_chunks=2)
+        snap = os.path.join(t.config.checkpoint_dir, "preempt.npz")
+        os.makedirs(t.config.checkpoint_dir, exist_ok=True)
+        with open(snap, "wb") as f:
+            f.write(b"PK\x03\x04 truncated garbage")
+        with open(snap.replace(".npz", ".json"), "w") as f:
+            f.write("{")
+        final, _ = t.fit_grid_cached(params, grids, batch_size=4,
+                                     augment=False,
+                                     key=jax.random.PRNGKey(0),
+                                     resume_from=snap)
+        assert "unusable" in capsys.readouterr().out
+        assert final is not None
+
+    def test_cross_pipeline_snapshot_starts_fresh(self, tmp_path, capsys):
+        """A 'chunk' (scan-path) snapshot resumed through the per-batch fit
+        (e.g. device_cache: auto resolving differently across launches)
+        must fall back to a fresh run, not KeyError on the cursor."""
+        grids = _GridBox(16, 12, 1)
+        t1, params1 = _trainer(tmp_path, "x1", max_epochs=2, epoch_chunks=2)
+        request_preemption()
+        t1.fit_grid_cached(params1, grids, batch_size=4, augment=False,
+                           key=jax.random.PRNGKey(0))
+        assert t1.preempted
+        snap = os.path.join(t1.config.checkpoint_dir, "preempt.npz")
+        assert os.path.exists(snap)
+
+        rng = np.random.default_rng(0)
+        batches = [((rng.random((2, 1, 12, 12, 12)) > 0.9).astype(np.float32),
+                    (rng.random((2, 1, 12, 12, 12)) > 0.97).astype(np.float32))
+                   for _ in range(3)]
+        t2, params2 = _trainer(tmp_path, "x2", max_epochs=1)
+        final, _ = t2.fit(params2, batches, resume_from=snap)
+        out = capsys.readouterr().out
+        assert "'chunk' fit pipeline" in out
+        assert final is not None
+
+    def test_save_checkpoint_is_atomic(self, tmp_path):
+        """save_checkpoint goes through a temp name + os.replace: after a
+        save, no temp residue exists and the file round-trips."""
+        from scenenet_tpu.train.checkpoint import (
+            restore_checkpoint, save_checkpoint,
+        )
+
+        tree = {"a": np.arange(5.0), "b": {"c": np.float32(2.5)}}
+        path = str(tmp_path / "atomic.npz")
+        save_checkpoint(path, tree, metadata={"step": 7})
+        assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]
+        got = restore_checkpoint(path, tree)
+        np.testing.assert_array_equal(got["a"], tree["a"])
+        assert json.load(open(str(tmp_path / "atomic.json")))["step"] == 7

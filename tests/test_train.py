@@ -201,9 +201,14 @@ class TestEndToEndFit:
         assert "test_F1Score" in scores
         preds = list(trainer.predict(final_params, batches[:1]))
         assert preds[0].shape == (2, 1, 12, 12, 12)
-        # best-checkpoint restore
-        restored = trainer.restore_best("train_loss", final_params)
-        assert jax.tree.structure(restored) == jax.tree.structure(final_params)
+        # best-checkpoint restore — including for VAL metrics, the ones
+        # users early-stop on (round-3 fix: the manager used to monitor
+        # only train_*, silently degrading test_checkpoint='best' to the
+        # final params whenever early_stop_metric was val_*)
+        for metric in ("train_loss", "val_loss", "val_FBetaScore"):
+            restored = trainer.restore_best(metric, final_params)
+            assert jax.tree.structure(restored) == \
+                jax.tree.structure(final_params)
 
     def test_grad_accumulation(self, tmp_path):
         net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)

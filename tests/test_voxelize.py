@@ -294,3 +294,23 @@ class TestDegenerateInputs:
         assert np.isfinite(np.asarray(g)).all()
         np.testing.assert_array_equal(np.asarray(h) > 0, hist_ref > 0)
         np.testing.assert_array_equal(np.asarray(g) > 0, reg_ref > 0)
+
+
+class TestSortedHistRouting:
+    def test_route_predicate(self):
+        """Round-3 fix: the large-grid VMEM guard (flat kernel's whole
+        (channels·n_hi, 512) accumulator cannot fit at 256³-class grids)
+        must apply to the two-channel route as well, not only occupancy —
+        regardless of MAC volume."""
+        from scenenet_tpu.ops.voxelize import _use_sorted_hist
+
+        size = 256 ** 3
+        n_hi = -(-size // 512)
+        assert _use_sorted_hist(n_hi, 4096, size)        # sparse cloud
+        assert _use_sorted_hist(n_hi, 2_000_000, size)   # dense cloud
+        # 64³ headline regime stays on the flat kernel
+        assert not _use_sorted_hist(512, 81920, 64 ** 3)
+        # 128³ big clouds cross the measured 1e11 MAC crossover
+        assert _use_sorted_hist(4096, 131072, 128 ** 3)
+        # KITTI (64,64,256) small clouds stay flat (measured 4% slower)
+        assert not _use_sorted_hist(2048, 32768, 64 * 64 * 256)
