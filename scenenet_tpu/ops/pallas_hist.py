@@ -295,7 +295,7 @@ def pallas_bin_counts(
     return counts, None
 
 
-def _hist_kernel_sorted(ids_ref, w_ref, starts_ref, o_ref, *, n_hi_slab: int,
+def _hist_kernel_sorted(ids_ref, starts_ref, o_ref, *, n_hi_slab: int,
                         channels: int, chunk: int, dtype):
     """Two-level (hierarchical) histogram over SORTED ids — VERDICT r2 #4.
 
@@ -307,7 +307,13 @@ def _hist_kernel_sorted(ids_ref, w_ref, starts_ref, o_ref, *, n_hi_slab: int,
     slab's ``n_hi_slab`` rows instead of all of n_hi. MXU work drops from
     points × bins to ≈ points × bins / n_slabs (+ one shared boundary
     chunk per slab) — the difference between 4096-row and 256-row one-hots
-    at 128³."""
+    at 128³.
+
+    For ``channels == 2`` the input is the PACKED key ``(flat << 1) | w``
+    (w the {0,1} tower indicator): packing rides the indicator through the
+    sort for free — a single-array sort instead of a key+payload sort, and
+    one VMEM operand instead of two — and the VPU unpack here (shift/and)
+    is noise against the dots."""
     acc_dtype = o_ref.dtype
     o_ref[0] = jnp.zeros_like(o_ref[0])
     lo_shift = LO.bit_length() - 1
@@ -320,7 +326,8 @@ def _hist_kernel_sorted(ids_ref, w_ref, starts_ref, o_ref, *, n_hi_slab: int,
     hi_base = s * n_hi_slab
 
     def body(c, _):
-        ids = ids_ref[0, pl.ds(c, 1)]  # (1, chunk)
+        packed = ids_ref[0, pl.ds(c, 1)]  # (1, chunk)
+        ids = (packed >> 1) if channels == 2 else packed
         hi_c = (ids >> lo_shift) - hi_base
         lo_c = ids & (LO - 1)
         # lhs one-hot built transposed (n_hi_slab, chunk): rows outside
@@ -332,8 +339,7 @@ def _hist_kernel_sorted(ids_ref, w_ref, starts_ref, o_ref, *, n_hi_slab: int,
         b = b.astype(dtype)
         dims = (((1,), (0,)), ((), ()))
         if channels == 2:
-            wrow = w_ref[0, pl.ds(c, 1)]  # (1, chunk)
-            awt = jnp.logical_and(mask_hi, wrow != 0).astype(dtype)
+            awt = jnp.logical_and(mask_hi, (packed & 1) != 0).astype(dtype)
             o_ref[0, 0] += lax.dot_general(
                 at, b, dims, preferred_element_type=acc_dtype)
             o_ref[0, 1] += lax.dot_general(
@@ -366,10 +372,13 @@ def pallas_sorted_bin_counts(
     the second channel counts points whose weight is NONZERO — it is a
     per-bin count of flagged points, not a sum of arbitrary weights.
 
-    Sorts (ids, weight) per sample (masked points get a beyond-range
-    sentinel and sort to the tail, outside every slab's run), locates the
-    ``n_slabs`` contiguous slab runs with a vmapped ``searchsorted``, and
-    hands both to :func:`_hist_kernel_sorted`. For 64³ (n_hi ≤ 512) the
+    Sorts one int32 key array per sample: for ``channels == 2`` the {0,1}
+    indicator weight is PACKED into the key's low bit — ``(flat << 1) | w``
+    — so a single-array ``lax.sort`` replaces the key+payload sort (half
+    the sort data movement; run ordering within a bin is irrelevant to a
+    histogram, and ``packed < (b << 1) ⟺ flat < b`` keeps the slab
+    ``searchsorted`` exact). Masked points get a beyond-range sentinel and
+    sort to the tail, outside every slab's run. For 64³ (n_hi ≤ 512) the
     flat single-level kernel is already optimal — this path pays off when
     n_hi ≫ 512 (128³: n_hi=4096), where it cuts the one-hot matmul work
     ≈ n_slabs× (measured on-chip: see benchmarks/RESULTS.md "128³
@@ -385,24 +394,26 @@ def pallas_sorted_bin_counts(
     n_hi_slab = -(-n_hi // n_slabs)
     invalid = n_slabs * n_hi_slab * LO  # sorts past every slab
     flat = jnp.where(mask, flat, invalid).astype(jnp.int32)
-    if weights is None and channels == 2:
-        weights = jnp.zeros_like(flat)
-    w = weights.astype(jnp.int32) if weights is not None else \
-        jnp.zeros_like(flat)
-    ids_s, w_s = lax.sort((flat, w), dimension=1, num_keys=1)
-    bounds = (jnp.arange(n_slabs + 1, dtype=jnp.int32) * (n_hi_slab * LO))
+    shift = 1 if channels == 2 else 0
+    key = flat << shift
+    if channels == 2 and weights is not None:
+        # indicator contract (see docstring): nonzero weight → bit set;
+        # masked/sentinel entries never carry the bit
+        key = key | jnp.where(mask, (weights != 0).astype(jnp.int32), 0)
+    pad_val = invalid << shift
+    ids_s = lax.sort(key, dimension=1)
+    bounds = (jnp.arange(n_slabs + 1, dtype=jnp.int32)
+              * (n_hi_slab * LO)) << shift
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds, side="left"))(ids_s)
     starts = starts.astype(jnp.int32)
 
     if n % chunk:
         pad = chunk - n % chunk
-        ids_s = jnp.pad(ids_s, ((0, 0), (0, pad)), constant_values=invalid)
-        w_s = jnp.pad(w_s, ((0, 0), (0, pad)))
+        ids_s = jnp.pad(ids_s, ((0, 0), (0, pad)), constant_values=pad_val)
         n += pad
     n_chunks = n // chunk
     ids_s = ids_s.reshape(b, n_chunks, chunk)
-    w_s = w_s.reshape(b, n_chunks, chunk)
 
     id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i, s: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -413,7 +424,6 @@ def pallas_sorted_bin_counts(
             (b, channels, n_slabs * n_hi_slab, LO), jnp.int32),
         grid=(b, n_slabs),
         in_specs=[
-            id_spec,
             id_spec,
             # SMEM block = the whole (B, K+1) array (Mosaic requires
             # full-dim or tile-aligned blocks); the kernel indexes [i, s]
@@ -428,7 +438,7 @@ def pallas_sorted_bin_counts(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ids_s, w_s, starts)
+    )(ids_s, starts)
 
     out = out.astype(jnp.float32).reshape(b, channels, -1)[:, :, :size]
     if channels == 2:
