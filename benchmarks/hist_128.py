@@ -89,8 +89,13 @@ def main():
         return dt
 
     timed("ids_only", lambda p, m, t: (flat_ids(p, m),))
-    timed("ids_sort", lambda p, m, t: jax.lax.sort(
+    # pre-r3-packing prefix: ids + payload pair sort (kept for the A/B)
+    timed("ids_sort_pair", lambda p, m, t: jax.lax.sort(
         (flat_ids(p, m), t.astype(jnp.int32)), dimension=1, num_keys=1))
+    # the shipped prefix: indicator packed into the key's low bit —
+    # single-array sort (pallas_sorted_bin_counts does exactly this)
+    timed("ids_sort_packed", lambda p, m, t: jax.lax.sort(
+        (flat_ids(p, m) << 1) | t.astype(jnp.int32), dimension=1))
     timed("flat_mxu", lambda p, m, t: pallas_points_bin_counts(
         p, m, jnp.logical_and(t, m), gs))
     combos = [(16, 4096)] if not args.sweep else [

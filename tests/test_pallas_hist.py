@@ -258,3 +258,50 @@ class TestPallasFlatIds:
             ref = np.asarray(jax.vmap(per)(jnp.asarray(pts), jnp.asarray(mask)))
             np.testing.assert_array_equal(ours[mask], ref[mask])
             assert np.all(ours[~mask] >= gs[0] * gs[1] * gs[2])
+
+
+class TestSortedPackedEdgeCases:
+    """Round-3 packing (indicator in the key's low bit): seeded fuzz over
+    the edge geometry — ids exactly on slab boundaries, all-masked samples,
+    every point in one bin, weights all-set/all-zero, ragged N vs chunk."""
+
+    def test_fuzz_vs_numpy(self):
+        from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
+
+        rng = np.random.default_rng(7)
+        size = 96 * 64 * 16  # n_hi = 192
+        for trial in range(6):
+            B = int(rng.integers(1, 3))
+            N = int(rng.choice([500, 1000, 1537]))  # ragged vs chunk=512
+            style = trial % 3
+            if style == 0:  # slab-boundary ids (n_slabs=6 → slab = 16·512)
+                flat = (rng.integers(0, 13, (B, N)) * 16 * 512
+                        - rng.integers(0, 2, (B, N))).clip(0, size - 1)
+            elif style == 1:  # single hot bin
+                flat = np.full((B, N), int(rng.integers(0, size)))
+            else:
+                flat = rng.integers(0, size, (B, N))
+            flat = flat.astype(np.int32)
+            mask = rng.random((B, N)) > 0.2
+            if trial == 4:
+                mask[0] = False  # an entirely-masked sample
+            w = rng.choice([0, 1], (B, N), p=[0.3, 0.7]).astype(np.int32)
+            if trial == 5:
+                w[:] = trial % 2
+            counts, wsum = pallas_sorted_bin_counts(
+                jnp.asarray(flat), jnp.asarray(mask), jnp.asarray(w), size,
+                n_slabs=6, chunk=512, interpret=True)
+            occ, _ = pallas_sorted_bin_counts(
+                jnp.asarray(flat), jnp.asarray(mask), None, size,
+                n_slabs=6, chunk=512, channels=1, interpret=True)
+            ref_c = np.zeros((B, size))
+            ref_w = np.zeros((B, size))
+            for b in range(B):
+                np.add.at(ref_c[b], flat[b][mask[b]], 1)
+                np.add.at(ref_w[b], flat[b][mask[b]], w[b][mask[b]])
+            np.testing.assert_array_equal(np.asarray(counts), ref_c,
+                                          err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(np.asarray(wsum), ref_w,
+                                          err_msg=f"trial {trial}")
+            np.testing.assert_array_equal(np.asarray(occ), ref_c,
+                                          err_msg=f"trial {trial} occ")
