@@ -40,6 +40,32 @@ def rotate_z_batch(points: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
         [jnp.stack([x, y], axis=-1) + center, points[..., 2:]], axis=-1)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("batch_size", "augment"))
+def _build_cache_batch(points, labels, mask, start, key, *,
+                       batch_size: int, augment: bool):
+    """One device-side batch from the resident arrays: dynamic slice +
+    (optional) z-rotation and random xy flips. Module-level so jax.jit
+    caches it across epochs, keyed on the static (batch_size, augment)."""
+    pts = jax.lax.dynamic_slice_in_dim(points, start, batch_size)
+    lab = jax.lax.dynamic_slice_in_dim(labels, start, batch_size)
+    m = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
+    if augment:
+        ka, kf = jax.random.split(key)
+        angles = jax.random.uniform(ka, (batch_size,),
+                                    minval=0.0, maxval=2 * jnp.pi)
+        pts = rotate_z_batch(pts, angles)
+        # random xy flips (label-preserving for z-aligned towers)
+        flips = jax.random.bernoulli(kf, 0.5, (batch_size, 2))
+        center = pts[..., :2].mean(axis=1, keepdims=True)
+        sign = jnp.where(flips, -1.0, 1.0)[:, None, :]
+        xy = (pts[..., :2] - center) * sign + center
+        pts = jnp.concatenate([xy, pts[..., 2:]], axis=-1)
+    return pts, lab, m
+
+
 def permute_rows(a: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     """Row gather that dodges the TPU's slow sub-32-bit gather.
 
@@ -206,6 +232,10 @@ class DevicePointCache:
     def __len__(self) -> int:
         return int(self.points.shape[0])
 
+    # NOTE: epoch() dispatches through module-level _build_cache_batch so
+    # the jit cache is keyed on (batch_size, augment) and survives across
+    # epochs — an inner @jax.jit closure would be a fresh function object
+    # (fresh trace + compile) every epoch.
     def epoch(
         self,
         batch_size: int,
@@ -234,32 +264,15 @@ class DevicePointCache:
             src_p, src_l, src_m = self.points, self.labels, self.mask
         n_batches = n // batch_size if drop_last else -(-n // batch_size)
 
-        # one jitted dispatch per batch: slice + (optional) augmentation
-        # compile once per (batch_size, augment) and stay device-side
-        @jax.jit
-        def build(points, labels, mask, start, key):
-            pts = jax.lax.dynamic_slice_in_dim(points, start, batch_size)
-            lab = jax.lax.dynamic_slice_in_dim(labels, start, batch_size)
-            m = jax.lax.dynamic_slice_in_dim(mask, start, batch_size)
-            if augment:
-                ka, kf = jax.random.split(key)
-                angles = jax.random.uniform(ka, (batch_size,),
-                                            minval=0.0, maxval=2 * jnp.pi)
-                pts = rotate_z_batch(pts, angles)
-                # random xy flips (label-preserving for z-aligned towers)
-                flips = jax.random.bernoulli(kf, 0.5, (batch_size, 2))
-                center = pts[..., :2].mean(axis=1, keepdims=True)
-                sign = jnp.where(flips, -1.0, 1.0)[:, None, :]
-                xy = (pts[..., :2] - center) * sign + center
-                pts = jnp.concatenate([xy, pts[..., 2:]], axis=-1)
-            return pts, lab, m
-
         if key is None:
             key = jax.random.PRNGKey(0)
         for b in range(n_batches):
             start = b * batch_size
-            if start + batch_size > n:  # last partial batch (plain slice)
-                yield src_p[start:], src_l[start:], src_m[start:]
-                continue
             key, sub = jax.random.split(key)
-            yield build(src_p, src_l, src_m, jnp.asarray(start), sub)
+            # the ragged tail (drop_last=False) goes through the same
+            # jitted builder at its own static size, so it IS augmented
+            # (it used to be a plain un-augmented slice) — one extra
+            # compile per distinct tail size, cached across epochs
+            yield _build_cache_batch(src_p, src_l, src_m, jnp.asarray(start),
+                                     sub, batch_size=min(batch_size, n - start),
+                                     augment=augment)

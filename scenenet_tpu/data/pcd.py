@@ -103,12 +103,19 @@ def crop_two_towers(xyz: np.ndarray, classes: np.ndarray, tower1: np.ndarray,
 
 def crop_ground_samples(xyz: np.ndarray, classes: np.ndarray,
                         min_points: int = 300) -> List[np.ndarray]:
-    """Tower-free strips along x (``:742-768``)."""
+    """Tower-free strips along x (``:742-768``).
+
+    Working version of the reference's intent: ~100 m strips tiling the
+    x extent. The reference reuses its strip COUNT (``int(extent/100)``)
+    as the strip WIDTH in meters and linspaces starts up to ``x_max`` —
+    covering only a sliver of the ground and always testing one empty
+    strip at the far edge; here the strips partition the extent exactly
+    (contiguous, no gaps, no dangling start)."""
     lo, hi = xyz.min(0), xyz.max(0)
     n_strips = max(int((hi[0] - lo[0]) / 100), 1)
-    step = (hi[0] - lo[0]) / max(n_strips, 1)
+    step = (hi[0] - lo[0]) / n_strips
     samples = []
-    for x0 in np.linspace(lo[0], hi[0], n_strips):
+    for x0 in lo[0] + step * np.arange(n_strips):
         keep = (xyz[:, 0] >= x0) & (xyz[:, 0] <= x0 + step)
         strip_cls = np.asarray(classes)[keep]
         if keep.sum() > min_points and len(np.unique(strip_cls)) >= 2:

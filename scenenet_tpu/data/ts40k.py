@@ -88,7 +88,20 @@ def build_data_samples(
         with open(progress_path) as f:
             read_files = json.load(f)
 
-    counter = len(os.listdir(fit_path))
+    # next free index = max existing sample index across ALL split folders
+    # + 1 — NOT len(listdir(fit)): after a split moves files out of fit/,
+    # the surviving names are sparse and a count-based counter would reuse
+    # (and silently overwrite) surviving indices on resume
+    counter = 0
+    scan_dirs = [os.path.join(save_dir, d) for d in os.listdir(save_dir)
+                 if os.path.isdir(os.path.join(save_dir, d))]
+    for sdir in scan_dirs:
+        for name in os.listdir(sdir):
+            if name.startswith("sample_") and name.endswith(".npy"):
+                try:
+                    counter = max(counter, int(name[7:-4]) + 1)
+                except ValueError:
+                    pass
     for d in data_dirs:
         for name in sorted(os.listdir(d)):
             path = os.path.join(d, name)

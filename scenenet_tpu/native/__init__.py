@@ -43,6 +43,7 @@ def load_native(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         return None
 
     lib.snt_voxelize.restype = ctypes.c_int
+    lib.snt_fit_spec.restype = ctypes.c_int
     lib.snt_dbscan.restype = ctypes.c_int
     lib.snt_read_las.restype = ctypes.c_int64
     lib.snt_load_batch.restype = ctypes.c_int
@@ -90,16 +91,23 @@ def voxelize_native(
     maxs = np.zeros(3)
     shape = np.zeros(3, np.int64)
 
-    # when voxel sizes are used the shape is data-dependent: probe first
+    # when voxel sizes are used the shape is data-dependent: size the
+    # output buffers with the C++ fit itself (snt_fit_spec) — NOT a
+    # host-side numpy reimplementation, whose float path could disagree
+    # by one truncated bin and under-allocate (the main call below runs
+    # the identical fit_spec, so the shapes match by construction)
     if use_vox:
-        probe_hist = np.zeros(1)
-        # fit only (n=1 dummy? no — compute spec on host in numpy instead)
-        from scenenet_tpu.ops.voxel_np import compute_grid_spec
-
-        spec = compute_grid_spec(xyz, None, vox_size)
-        shape[:] = spec.shape
+        ret = lib.snt_fit_spec(
+            _ptr(xyz, ctypes.c_double), ctypes.c_int64(n),
+            _ptr(vxg, ctypes.c_int64), _ptr(vox, ctypes.c_double),
+            ctypes.c_int(1),
+            _ptr(mins, ctypes.c_double), _ptr(maxs, ctypes.c_double),
+            _ptr(shape, ctypes.c_int64))
+        if ret != 0:
+            raise RuntimeError(f"snt_fit_spec failed (code {ret})")
     else:
         shape[:] = vxg
+    alloc_shape = shape.copy()
 
     size = int(shape[0] * shape[1] * shape[2])
     hist = np.zeros(size, np.float64)
@@ -124,6 +132,7 @@ def voxelize_native(
     )
     if ret != 0:
         raise RuntimeError(f"snt_voxelize failed (code {ret})")
+    assert (shape == alloc_shape).all(), "fit_spec shape drifted between calls"
     n_x, n_y, n_z = (int(s) for s in shape)
     zxy = (n_z, n_x, n_y)
     spec = {"xyzmin": mins, "xyzmax": maxs, "shape": (n_x, n_y, n_z)}

@@ -123,6 +123,17 @@ int snt_voxelize(const double* xyz, const double* labels, int64_t n,
     return 0;
 }
 
+// Fit-only entry point: lets the caller size hist/reg buffers from the
+// SAME float path snt_voxelize will use (a host-side reimplementation
+// could disagree by one truncated bin and under-allocate — heap overflow).
+int snt_fit_spec(const double* xyz, int64_t n,
+                 const int64_t* vxg_size, const double* vox_size, int use_vox,
+                 double* mins_out, double* maxs_out, int64_t* shape_out) {
+    if (n <= 0) return 1;
+    fit_spec(xyz, n, vxg_size, vox_size, use_vox, mins_out, maxs_out, shape_out);
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // DBSCAN (grid-hashed; labels: -1 noise, clusters from 0)
 // ---------------------------------------------------------------------------

@@ -71,7 +71,14 @@ def _hist_kernel(ids_ref, w_ref, o_ref, *, n_hi: int, channels: int,
         dims = (((0,), (0,)), ((), ()))
         if channels == 2:
             wcol = w_ref[0, pl.ds(c, 1)][0][:, None]  # (chunk, 1) 32-bit
-            aw = jnp.logical_and(mask_hi, wcol != 0).astype(dtype)
+            if dtype == jnp.int8:
+                # {0,1} indicator contract of the s8 path
+                aw = jnp.logical_and(mask_hi, wcol != 0).astype(dtype)
+            else:
+                # int8=False: arbitrary float weights ride the lhs one-hot
+                # (applied at bf16 lhs precision); masked/padded points
+                # have mask_hi rows that never fire, so no w masking needed
+                aw = a * wcol.astype(dtype)
             if split_dots:
                 o_ref[0, :n_hi] += lax.dot_general(
                     a, b, dims, preferred_element_type=acc_dtype)
@@ -86,25 +93,16 @@ def _hist_kernel(ids_ref, w_ref, o_ref, *, n_hi: int, channels: int,
     lax.fori_loop(0, n_live, body, 0)
 
 
-def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
-                        n_hi: int, channels: int, n_chunks: int, chunk: int,
-                        dtype):
-    """Fused raw-points → two-channel histogram.
-
-    Phase 1 reduces masked per-axis bounds (regular-bounding-box expanded,
-    pyntcloud rule) to scalars; phase 2 computes each chunk's flat (z,x,y)
-    bin ids in VMEM and feeds the same one-hot MXU dots as
-    :func:`_hist_kernel`. Raw points are read from HBM exactly once and no
-    intermediate id tensor ever exists in HBM (the XLA formulation spends
-    ~1.4 ms/batch on the index computation alone, plus its HBM round-trip).
-    """
+def _bin_flat_ids_in_kernel(pts_ref, m, grid_shape, invalid: int):
+    """Shared in-kernel bounds + binning: masked per-axis bounds reduced to
+    scalars (regular-bounding-box expansion), then each point's flat
+    (z, x, y) bin id via the pyntcloud edge rule with the f32 1e-4 bias —
+    the ONE id recipe (parity with ``voxelize.voxel_indices``); used by
+    both the fused histogram kernel and the id-only kernel so the math
+    cannot drift between them. ``pts_ref`` is a (1, 3, n_chunks, chunk)
+    block ref, ``m`` the (n_chunks, chunk) bool mask; returns int32 ids
+    with masked points set to ``invalid``."""
     n_x, n_y, n_z = grid_shape
-    acc_dtype = o_ref.dtype
-    o_ref[0] = jnp.zeros_like(o_ref[0])
-    lo_shift = LO.bit_length() - 1
-
-    m = m_ref[0] != 0  # (n_chunks, CHUNK)
-    n_live = _live_chunk_count(m_ref[0])
     big = jnp.float32(3.4e38)
     axes_lo = []
     axes_hi = []
@@ -120,8 +118,6 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
     inv_step = [s / jnp.maximum(h - l, jnp.float32(1e-30))
                 for l, h, s in zip(lo, hi, shape_f)]
 
-    invalid = n_hi * LO
-
     def bin_axis(a, n):
         p = pts_ref[0, a]
         rel = (p - lo[a]) * inv_step[a]
@@ -131,8 +127,30 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
     ix = bin_axis(0, n_x)
     iy = bin_axis(1, n_y)
     iz = bin_axis(2, n_z)
+    return jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
+
+
+def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
+                        n_hi: int, channels: int, n_chunks: int, chunk: int,
+                        dtype):
+    """Fused raw-points → two-channel histogram.
+
+    Phase 1 reduces masked per-axis bounds (regular-bounding-box expanded,
+    pyntcloud rule) to scalars; phase 2 computes each chunk's flat (z,x,y)
+    bin ids in VMEM and feeds the same one-hot MXU dots as
+    :func:`_hist_kernel`. Raw points are read from HBM exactly once and no
+    intermediate id tensor ever exists in HBM (the XLA formulation spends
+    ~1.4 ms/batch on the index computation alone, plus its HBM round-trip).
+    """
+    acc_dtype = o_ref.dtype
+    o_ref[0] = jnp.zeros_like(o_ref[0])
+    lo_shift = LO.bit_length() - 1
+
+    m = m_ref[0] != 0  # (n_chunks, CHUNK)
+    n_live = _live_chunk_count(m_ref[0])
     # staged through a VMEM scratch: Mosaic has no dynamic_slice on values
-    flat_ref[...] = jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
+    flat_ref[...] = _bin_flat_ids_in_kernel(pts_ref, m, grid_shape,
+                                            invalid=n_hi * LO)
 
     def body(c, _):
         ids = flat_ref[pl.ds(c, 1)]  # (1, chunk)
@@ -247,8 +265,9 @@ def pallas_bin_counts(
 
     ``int8=True`` (default) runs exact s8×s8→s32 MXU dots — only valid
     while one-hots and weights are {0,1} (they are: weights are the
-    is-tower indicator). ``int8=False`` keeps the bf16/f32 variant for
-    arbitrary float weights.
+    is-tower indicator). ``int8=False`` keeps the bf16→f32 variant for
+    arbitrary float weights, which are multiplied onto the lhs one-hot at
+    bf16 precision (f32 accumulation).
     """
     b, n = flat.shape
     n_hi = -(-size // LO)
@@ -455,33 +474,8 @@ def _points_ids_kernel(pts_ref, m_ref, o_ref, *, grid_shape, invalid: int):
     ids ARE the output — one HBM read of the points, one id write,
     instead of the vmapped XLA formulation's multiple reduction passes
     (measured 2.6 ms → ~0.3 ms for b4 × 131k at 128³)."""
-    n_x, n_y, n_z = grid_shape
     m = m_ref[0] != 0  # (n_chunks, chunk)
-    big = jnp.float32(3.4e38)
-    axes_lo = []
-    axes_hi = []
-    for a in range(3):
-        p = pts_ref[0, a]
-        axes_lo.append(jnp.min(jnp.where(m, p, big)))
-        axes_hi.append(jnp.max(jnp.where(m, p, -big)))
-    rngs = [h - l for l, h in zip(axes_lo, axes_hi)]
-    rmax = jnp.maximum(rngs[0], jnp.maximum(rngs[1], rngs[2]))
-    lo = [l - (rmax - r) * 0.5 for l, r in zip(axes_lo, rngs)]
-    hi = [h + (rmax - r) * 0.5 for h, r in zip(axes_hi, rngs)]
-    shape_f = (jnp.float32(n_x), jnp.float32(n_y), jnp.float32(n_z))
-    inv_step = [s / jnp.maximum(h - l, jnp.float32(1e-30))
-                for l, h, s in zip(lo, hi, shape_f)]
-
-    def bin_axis(a, n):
-        p = pts_ref[0, a]
-        rel = (p - lo[a]) * inv_step[a]
-        idx = jnp.ceil(rel - jnp.float32(1e-4)).astype(jnp.int32) - 1
-        return jnp.clip(idx, 0, n - 1)
-
-    ix = bin_axis(0, n_x)
-    iy = bin_axis(1, n_y)
-    iz = bin_axis(2, n_z)
-    o_ref[0] = jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
+    o_ref[0] = _bin_flat_ids_in_kernel(pts_ref, m, grid_shape, invalid)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",

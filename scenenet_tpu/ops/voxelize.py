@@ -91,6 +91,20 @@ def _flat_zxy_idx(idx: jnp.ndarray, grid_shape: Tuple[int, int, int]) -> jnp.nda
     return (idx[:, 2] * n_x + idx[:, 0]) * n_y + idx[:, 1]
 
 
+def batch_flat_ids(points: jnp.ndarray, mask: jnp.ndarray,
+                   grid_shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """(B, N, 3) padded points -> (B, N) flat (z, x, y) bin ids, fitting
+    each sample's pyntcloud-style grid spec from its masked bounds. The
+    single id recipe every batched histogram path shares (host-exact:
+    matches voxel_indices/_flat_zxy_idx used sample-wise)."""
+
+    def per_sample(p, m):
+        lo, hi = grid_bounds(p, m)
+        return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
+
+    return jax.vmap(per_sample)(points, mask)
+
+
 def normalize_per_column(grid: jnp.ndarray) -> jnp.ndarray:
     """Per-y-column minmax over (z,x) — device twin of
     :func:`scenenet_tpu.ops.voxel_np.normalize_per_column_np`."""
@@ -293,12 +307,26 @@ def _batch_from_flat(
     if method == "mxu":
         tower_w = jnp.logical_and(is_tower, mask)
         if jax.default_backend() == "tpu":
-            # fused Pallas kernel: one-hots built in VMEM, s8 MXU dots —
-            # the XLA einsum materializes both one-hot operands through
-            # HBM (~100 MB/chunk at batch 16) and is bound by that traffic
-            from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
+            if _use_sorted_hist(-(-size // _MXU_LO), n, size):
+                # same routing as the raw-points paths: the flat kernel's
+                # whole-VMEM accumulator cannot fit at 256³-class grids,
+                # and at 128³ MAC volumes the sorted kernel is 2.8× faster
+                # (the ids are already flat here — no prefix beyond sort)
+                from scenenet_tpu.ops.pallas_hist import (
+                    pallas_sorted_bin_counts,
+                )
 
-            counts, tower = pallas_bin_counts(flat, mask, size, weights=tower_w)
+                counts, tower = pallas_sorted_bin_counts(
+                    flat, mask, tower_w.astype(jnp.int32), size)
+            else:
+                # fused Pallas kernel: one-hots built in VMEM, s8 MXU dots
+                # — the XLA einsum materializes both one-hot operands
+                # through HBM (~100 MB/chunk at batch 16) and is bound by
+                # that traffic
+                from scenenet_tpu.ops.pallas_hist import pallas_bin_counts
+
+                counts, tower = pallas_bin_counts(flat, mask, size,
+                                                  weights=tower_w)
         else:
             counts, tower = _mxu_bin_counts2(flat, mask, tower_w, size)
         counts = counts.reshape(b, n_z, n_x, n_y)
@@ -355,12 +383,7 @@ def _tpu_two_channel_counts(points, mask, tower_w, grid_shape):
         # (pallas_flat_ids) measured 13.9 vs 12.9 ms on the full 128³
         # step — in context XLA fuses the id computation with the
         # surrounding step where the separate kernel dispatch cannot
-        def per_sample_flat(p, m):
-            lo, hi = grid_bounds(p, m)
-            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape),
-                                 grid_shape)
-
-        flat = jax.vmap(per_sample_flat)(points, mask)
+        flat = batch_flat_ids(points, mask, grid_shape)
         return pallas_sorted_bin_counts(flat, mask, tower_w, size)
     from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
 
@@ -379,12 +402,7 @@ def _tpu_occupancy_counts(points, mask, grid_shape):
     if _use_sorted_hist(-(-size // _MXU_LO), points.shape[1], size):
         from scenenet_tpu.ops.pallas_hist import pallas_sorted_bin_counts
 
-        def per_sample_flat(p, m):
-            lo, hi = grid_bounds(p, m)
-            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape),
-                                 grid_shape)
-
-        flat = jax.vmap(per_sample_flat)(points, mask)
+        flat = batch_flat_ids(points, mask, grid_shape)
         return pallas_sorted_bin_counts(flat, mask, None, size,
                                         channels=1)[0]
     from scenenet_tpu.ops.pallas_hist import pallas_points_bin_counts
@@ -419,11 +437,7 @@ def voxelize_batch(
         reg = jnp.where(counts > 0, tower / jnp.maximum(counts, 1.0), 0.0)
         return hist, reg
 
-    def per_sample_flat(p, m):
-        lo, hi = grid_bounds(p, m)
-        return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
-
-    flat = jax.vmap(per_sample_flat)(points, mask)
+    flat = batch_flat_ids(points, mask, grid_shape)
     return _batch_from_flat(flat, is_tower, mask, grid_shape)
 
 
@@ -454,11 +468,7 @@ def voxelize_batch_binary(
         counts = counts.reshape(b, n_z, n_x, n_y)
         tower = tower.reshape(b, n_z, n_x, n_y)
     else:
-        def per_sample_flat(p, m):
-            lo, hi = grid_bounds(p, m)
-            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
-
-        flat = jax.vmap(per_sample_flat)(points, mask)
+        flat = batch_flat_ids(points, mask, grid_shape)
         tower_w = jnp.logical_and(is_tower, mask)
         counts, tower = _mxu_bin_counts2(flat, mask, tower_w, n_x * n_y * n_z)
         counts = counts.reshape(b, n_z, n_x, n_y)
@@ -607,11 +617,7 @@ def voxelize_batch_hist(
         counts = counts.reshape(b, n_z, n_x, n_y)
         return jax.vmap(normalize_per_column)(counts)
 
-    def per_sample_flat(p, m):
-        lo, hi = grid_bounds(p, m)
-        return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
-
-    flat = jax.vmap(per_sample_flat)(points, mask)
+    flat = batch_flat_ids(points, mask, grid_shape)
     if method == "mxu":
         counts = _mxu_bin_counts(flat, mask, size)
         counts = counts.reshape(b, n_z, n_x, n_y)
@@ -639,11 +645,7 @@ def voxelize_batch_occupancy(
     if jax.default_backend() == "tpu":
         counts = _tpu_occupancy_counts(points, mask, grid_shape)
     else:
-        def per_sample_flat(p, m):
-            lo, hi = grid_bounds(p, m)
-            return _flat_zxy_idx(voxel_indices(p, lo, hi, grid_shape), grid_shape)
-
-        flat = jax.vmap(per_sample_flat)(points, mask)
+        flat = batch_flat_ids(points, mask, grid_shape)
         counts = _mxu_bin_counts(flat, mask, n_x * n_y * n_z)
     counts = counts.reshape(b, n_z, n_x, n_y)
     colmin = jnp.min(counts.reshape(b, -1, n_y), axis=1)[:, None, None, :]
