@@ -42,7 +42,7 @@ class _Pipeline:
         )
         from scenenet_tpu.train.checkpoint import restore_checkpoint
 
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.net, self.params = SceneNet.create(kernel_size=kernel_size,
                                                 seed=0, backend=backend)
         if checkpoint:
@@ -106,14 +106,30 @@ def make_handler(pipeline: _Pipeline):
             if self.path != "/predict":
                 self.send_error(404)
                 return
-            length = int(self.headers.get("Content-Length", 0))
-            data = np.load(io.BytesIO(self.rfile.read(length)))
-            points = np.asarray(data["points"], np.float32)
-            tau = float(data["tau"]) if "tau" in data else None
+            # malformed bodies must produce an HTTP error, not an unhandled
+            # exception in the handler thread (which drops the connection
+            # with no response at all)
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = np.load(io.BytesIO(self.rfile.read(length)))
+                points = np.asarray(data["points"], np.float32)
+                if points.ndim != 2 or points.shape[1] != 3:
+                    raise ValueError(f"points must be (N, 3), got "
+                                     f"{points.shape}")
+                if len(points) == 0:
+                    raise ValueError("points is empty")
+                tau = float(data["tau"]) if "tau" in data else None
+            except Exception as exc:
+                self.send_error(400, explain=f"bad request body: {exc}")
+                return
 
-            t0 = time.perf_counter()
-            pred, probs = pipeline.predict(points)
-            latency = time.perf_counter() - t0
+            try:
+                t0 = time.perf_counter()
+                pred, probs = pipeline.predict(points)
+                latency = time.perf_counter() - t0
+            except Exception as exc:  # keep the server alive
+                self.send_error(500, explain=f"inference failed: {exc}")
+                return
 
             out = io.BytesIO()
             payload = {"point_probs": probs, "voxel_pred": pred}

@@ -40,7 +40,9 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
         if backend == "auto":
             import jax
 
-            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+            # pallas kernels are Mosaic-TPU only: auto means TPU->pallas,
+            # ANYTHING else (cpu, gpu) -> xla (config.py documents this)
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         return SceneNet.create(cfg.geneo_num(), cfg.kernel_size, seed=seed,
                                smart=getattr(cfg, "geneo_init", "random") == "smart",
                                backend=backend)
@@ -51,7 +53,9 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
         if backend == "auto":
             import jax
 
-            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+            # pallas kernels are Mosaic-TPU only: auto means TPU->pallas,
+            # ANYTHING else (cpu, gpu) -> xla (config.py documents this)
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         return QuantileSceneNet.create(
             cfg.geneo_num(), cfg.kernel_size, seed=seed,
             quantiles=tuple(getattr(cfg, "quantiles", (0.1, 0.5, 0.9))),

@@ -357,7 +357,10 @@ class SceneNetClassifier:
     def create(cls, geneo_num=None, kernel_size=(9, 6, 6), version: str = "v2", seed: int = 0):
         net, params = SceneNet.create(geneo_num, kernel_size, version, seed)
         rng = np.random.default_rng(seed + 17)
-        tau = jnp.asarray(0.2 + 0.4 * rng.random(), jnp.float32)  # U[0.2, 0.6]
+        # the reference draws tau = (tau_max - tau_min)·rand — U[0, 0.4]:
+        # its tau_min=0.2 never shifts the draw (SCENE_Net.py:441-443).
+        # Reproduced as executed, not as presumably intended.
+        tau = jnp.asarray(0.4 * rng.random(), jnp.float32)
         return cls(net=net), {**params, "tau": tau}
 
     def apply(self, params: Mapping, x: jnp.ndarray, straight_through: bool = False) -> jnp.ndarray:
@@ -367,6 +370,28 @@ class SceneNetClassifier:
             soft = jax.nn.sigmoid((probs - params["tau"]) * 50.0)
             return soft + jax.lax.stop_gradient(hard - soft)
         return hard
+
+    # constraint-penalty hooks forwarded to the inner net, like the
+    # reference's get_cvx_coefficients/get_geneo_params (SCENE_Net.py:456-460)
+    # — without these, GENEO criteria silently drop every penalty term
+    # when training the classifier
+    def cvx_coefficients(self, params):
+        return self.net.cvx_coefficients(params)
+
+    def geneo_params_flat(self, params):
+        return self.net.geneo_params_flat(params)
+
+    @property
+    def last_lambda(self):
+        return self.net.last_lambda
+
+    def synthesize_kernels(self, params):
+        return self.net.synthesize_kernels(params)
+
+    def parameters_in_dict(self, params):
+        out = dict(self.net.parameters_in_dict(params))
+        out["tau"] = float(params["tau"])
+        return out
 
     def trainable_mask(self, params):
         mask = self.net.trainable_mask(params)

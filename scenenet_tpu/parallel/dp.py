@@ -26,7 +26,9 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
-from scenenet_tpu.train.metrics import MetricState, update_metrics
+from scenenet_tpu.train.metrics import (
+    MetricState, merge_metric_states, update_metrics,
+)
 from scenenet_tpu.train.state import TrainState
 
 
@@ -151,11 +153,12 @@ def make_sharded_train_step(
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
         # accumulate only this batch's (globally psum'd) confusion delta —
-        # the carried mstate is already replicated/global
+        # the carried mstate is already replicated/global; merge with carry
+        # (a raw leaf add would overflow the lo limbs over many batches)
         zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
         delta = update_metrics(zero, pred, y, tau)
         delta = MetricState(*(lax.psum(v, axes) for v in delta))
-        mstate = MetricState(*(a + d for a, d in zip(mstate, delta)))
+        mstate = merge_metric_states(mstate, delta)
         return new_state, mstate, loss
 
     batch_spec = P(batch_axis, None, space_axis, None, None)

@@ -1,4 +1,7 @@
-from scenenet_tpu.train.metrics import MetricState, init_metric_state, update_metrics, compute_metrics
+from scenenet_tpu.train.metrics import (
+    MetricState, compute_metrics, init_metric_state, merge_metric_states,
+    metric_counts, update_metrics,
+)
 from scenenet_tpu.train.state import TrainState, create_train_state, resolve_optimizer
 from scenenet_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, CheckpointManager
 from scenenet_tpu.train.callbacks import EarlyStopping, BestMetricTracker

@@ -126,9 +126,16 @@ class ADMMTrainer:
             return (jnp.maximum(0.0, mu + rho * g),
                     jnp.maximum(g, 0.0).max())
 
-        from scenenet_tpu.train.callbacks import BestMetricTracker
+        from scenenet_tpu.train.callbacks import BestMetricTracker, EarlyStopping
+        from scenenet_tpu.train.checkpoint import CheckpointManager
+        from scenenet_tpu.train.loop import _monitor_modes
 
         self.best = BestMetricTracker()
+        ckpt = CheckpointManager(cfg.checkpoint_dir, _monitor_modes(),
+                                 top_k=cfg.checkpoint_top_k)
+        stopper = (EarlyStopping(cfg.early_stop_metric,
+                                 cfg.early_stop_patience)
+                   if cfg.early_stop_metric else None)
         for epoch in range(max(cfg.max_epochs, 1)):
             mstate = init_metric_state()
             losses = []
@@ -142,13 +149,23 @@ class ADMMTrainer:
             scores["train_loss"] = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             scores["admm_max_violation"] = float(max_violation)
             scores["admm_mu_norm"] = float(jnp.linalg.norm(mu))
+            if val_loader is not None:
+                # val scores on the DATA criterion (the multipliers own the
+                # constraints; validation measures the task, like the
+                # inner-Trainer eval used for test)
+                scores.update(self._plain().evaluate(state.params,
+                                                     val_loader, "val"))
             self.logger.log_metrics(scores, epoch)
             self.best.update(scores)
+            ckpt.step(state.params, scores, epoch)
             self.history.append({"epoch": epoch,
                                  "max_violation": float(max_violation),
                                  "mu_norm": float(jnp.linalg.norm(mu)),
                                  "train_loss": scores["train_loss"]})
+            if stopper is not None and stopper.update(scores):
+                break
 
+        self._ckpt = ckpt
         return state.params, self.best.best
 
     # post-fit operations run through a plain Trainer on the data criterion
@@ -164,3 +181,11 @@ class ADMMTrainer:
 
     def predict(self, params, loader):
         return self._plain().predict(params, loader)
+
+    def restore_best(self, metric: str, template):
+        from scenenet_tpu.train.checkpoint import restore_checkpoint
+
+        path = self._ckpt.best_path(metric)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint recorded for {metric}")
+        return restore_checkpoint(path, template)

@@ -19,14 +19,20 @@ import jax
 import numpy as np
 
 
+def path_key(path) -> str:
+    """'/'-joined string key for a pytree path (dict keys, sequence
+    indices, named fields) — the single canonical stringification every
+    flat-npz writer/reader in this module shares."""
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+        for p in path
+    )
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path
-        )
-        flat[key] = np.asarray(leaf)
+        flat[path_key(path)] = np.asarray(leaf)
     return flat
 
 
@@ -52,14 +58,19 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path_keys, leaf in leaves_with_path:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path_keys
-        )
+        key = path_key(path_keys)
         if key not in data:
             raise KeyError(f"checkpoint missing parameter {key!r}")
         arr = data[key]
-        new_leaves.append(np.asarray(arr, dtype=np.asarray(leaf).dtype))
+        want = np.asarray(leaf)
+        if tuple(arr.shape) != tuple(want.shape):
+            # np.asarray would NOT raise on mismatched shapes — and the
+            # tolerant auto-resume path relies on restore raising to
+            # reject a stale snapshot of a differently-shaped model
+            raise ValueError(
+                f"checkpoint {key!r}: shape {tuple(arr.shape)} != template "
+                f"{tuple(want.shape)}")
+        new_leaves.append(np.asarray(arr, dtype=want.dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -140,10 +151,7 @@ def save_checkpoint_sharded(path_prefix: str, tree: Any,
     index_meta: Dict[str, Any] = {}
     shapes: Dict[str, Any] = {}
     for path_keys, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path_keys
-        )
+        key = path_key(path_keys)
         shapes[key] = list(np.shape(leaf))
         if isinstance(leaf, jax.Array) and hasattr(leaf, "addressable_shards"):
             shards = sorted(leaf.addressable_shards, key=lambda s: s.device.id)
@@ -186,10 +194,7 @@ def restore_checkpoint_sharded(path_prefix: str, template: Any) -> Any:
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
     for path_keys, leaf in leaves_with_path:
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
-            for p in path_keys
-        )
+        key = path_key(path_keys)
         if f"{key}@r" in data:
             out.append(np.asarray(data[f"{key}@r"],
                                   dtype=np.asarray(leaf).dtype))

@@ -27,7 +27,9 @@ import numpy as np
 import optax
 
 from scenenet_tpu.train.callbacks import BestMetricTracker, EarlyStopping
-from scenenet_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
+from scenenet_tpu.train.checkpoint import (
+    CheckpointManager, path_key, restore_checkpoint,
+)
 from scenenet_tpu.train.metrics import (
     DEFAULT_BETA,
     DEFAULT_TAU,
@@ -370,7 +372,7 @@ class Trainer:
                         # equivalent (main.py:217-222)
                         flat = {}
                         for path, v in jax.tree_util.tree_flatten_with_path(grads)[0]:
-                            key = "/".join(str(getattr(k, "key", k)) for k in path)
+                            key = path_key(path)
                             if np.ndim(v) == 0:
                                 flat[f"grad/{key}"] = float(v)
                             else:
@@ -742,6 +744,15 @@ class Trainer:
             keys_t = {"outer": key, "kperm": key, "aug": key}
             restored = load_train_snapshot_if_compatible(
                 resume_from, state, keys_t, kind="chunk")
+            if restored is not None and int(restored[-1].get(
+                    "n_chunks", len(chunks))) != len(chunks):
+                # a next_chunk cursor is only meaningful against the SAME
+                # chunk partition — epoch_chunks/batch_size changed between
+                # launches would silently skip/duplicate batches
+                print(f"[preempt] snapshot chunk partition "
+                      f"({restored[-1]['n_chunks']}) != current "
+                      f"({len(chunks)}); starting fresh")
+                restored = None
             if restored is not None:
                 state, mstate, loss_sum, keys, cursor = restored
                 key = jnp.asarray(keys["outer"])
@@ -758,7 +769,7 @@ class Trainer:
                 snap_path, state, mstate, loss_sum,
                 {"outer": key, "kperm": kperm, "aug": aug_key},
                 {"kind": "chunk", "epoch": epoch, "next_chunk": next_chunk,
-                 "step": int(state.step)})
+                 "n_chunks": len(chunks), "step": int(state.step)})
             return snap_path
 
         with PreemptionGuard() as guard:

@@ -18,16 +18,27 @@ Semantics parity:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax.numpy as jnp
 
 DEFAULT_TAU = 0.65
 DEFAULT_BETA = 0.5
 
+# Counts accumulate as TWO-LIMB int32 pairs [hi, lo] with value
+# hi·2²⁴ + lo: a single int32 wraps at 2.1e9, which a real epoch reaches —
+# at 64³ the tn count grows ~2.6e5 per sample, so ~8k samples (the actual
+# TS40K is ~9k crops; a quantile model triples every count) silently
+# overflow and corrupt every metric downstream (early stopping, top-k
+# checkpoints). TPU has no native 64-bit ints under the default config
+# (jax_enable_x64 off downcasts them), hence limbs. Capacity 2⁵⁴ counts.
+_LIMB_BITS = 24
+_LIMB_MASK = (1 << _LIMB_BITS) - 1
+
 
 class MetricState(NamedTuple):
-    """Confusion counts for the binary task (positive class = tower)."""
+    """Confusion counts for the binary task (positive class = tower).
+    Each field is a (2,) int32 [hi, lo] limb pair (see module notes)."""
 
     tp: jnp.ndarray
     fp: jnp.ndarray
@@ -36,8 +47,21 @@ class MetricState(NamedTuple):
 
 
 def init_metric_state() -> MetricState:
-    z = jnp.zeros((), jnp.int32)
+    z = jnp.zeros((2,), jnp.int32)
     return MetricState(tp=z, fp=z, fn=z, tn=z)
+
+
+def _acc(limbs: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Add a per-batch int32 delta (< 2³¹) into an [hi, lo] pair, carrying
+    so the invariant lo < 2²⁴ holds afterwards."""
+    lo = limbs[1] + (delta & _LIMB_MASK)  # < 2²⁴ + 2²⁴: no overflow
+    hi = limbs[0] + (delta >> _LIMB_BITS) + (lo >> _LIMB_BITS)
+    return jnp.stack([hi, lo & _LIMB_MASK])
+
+
+def _limb_value(limbs: jnp.ndarray) -> jnp.ndarray:
+    return limbs[0].astype(jnp.float32) * float(1 << _LIMB_BITS) \
+        + limbs[1].astype(jnp.float32)
 
 
 def update_metrics(
@@ -57,7 +81,33 @@ def update_metrics(
     fp = jnp.sum(p & ~t).astype(jnp.int32)
     fn = jnp.sum(~p & t).astype(jnp.int32)
     tn = jnp.sum(~p & ~t).astype(jnp.int32)
-    return MetricState(state.tp + tp, state.fp + fp, state.fn + fn, state.tn + tn)
+    return MetricState(_acc(state.tp, tp), _acc(state.fp, fp),
+                       _acc(state.fn, fn), _acc(state.tn, tn))
+
+
+def merge_metric_states(a: MetricState, b: MetricState) -> MetricState:
+    """Pairwise-add two states with carry (for accumulating psum'd
+    cross-device deltas; a raw leaf add would let lo limbs grow past
+    int32). Safe while the summed lo limbs stay below 2³¹ — i.e. up to
+    ~2⁷ devices of renormalized states per merge."""
+
+    def one(x, y):
+        lo = x[1] + y[1]
+        hi = x[0] + y[0] + (lo >> _LIMB_BITS)
+        return jnp.stack([hi, lo & _LIMB_MASK])
+
+    return MetricState(*(one(x, y) for x, y in zip(a, b)))
+
+
+def metric_counts(state: MetricState) -> Tuple[int, int, int, int]:
+    """Host-side exact (tp, fp, fn, tn) as Python ints."""
+    import numpy as np
+
+    out = []
+    for limbs in state:
+        arr = np.asarray(limbs)
+        out.append(int(arr[0]) * (1 << _LIMB_BITS) + int(arr[1]))
+    return tuple(out)
 
 
 def _safe_div(num, den):
@@ -66,10 +116,10 @@ def _safe_div(num, den):
 
 def compute_metrics(state: MetricState, beta: float = DEFAULT_BETA) -> Dict[str, jnp.ndarray]:
     """Reduce counts to the reference's five scores."""
-    tp = state.tp.astype(jnp.float32)
-    fp = state.fp.astype(jnp.float32)
-    fn = state.fn.astype(jnp.float32)
-    tn = state.tn.astype(jnp.float32)
+    tp = _limb_value(state.tp)
+    fp = _limb_value(state.fp)
+    fn = _limb_value(state.fn)
+    tn = _limb_value(state.tn)
 
     precision = _safe_div(tp, tp + fp)
     recall = _safe_div(tp, tp + fn)

@@ -162,6 +162,11 @@ def _coerce(name: str, value: Any) -> Any:
             return None
         if isinstance(value, str):
             value = ast.literal_eval(value)
+        if isinstance(value, (int, float)):
+            # scalar spellings are natural YAML ("keep_labels: 15",
+            # "voxel_size: 0.5"): broadcast to the field's arity instead
+            # of crashing in tuple(<int>)
+            return (value,) if name == "keep_labels" else (value,) * 3
         return tuple(value)
     if isinstance(value, str) and value.lower() in ("none", "null"):
         # YAML-style null / python None spellings from --set overrides

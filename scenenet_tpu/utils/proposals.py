@@ -101,7 +101,11 @@ def get_tower_proposals(
             occupied = grid_to_tower_points(density_grid, tau=1e-9)
             center_xy = occupied.mean(axis=0)[:2] if len(occupied) else np.zeros(2)
         else:
-            center_xy = np.asarray(np.squeeze(pred_grid).shape[:2], np.float64) / 2
+            # grids are (z, x, y)-indexed and centroids live in (x, y):
+            # the center must come from dims 1 and 2, not [:2] = (z, x)
+            # (latent for cubic grids only)
+            shp = np.squeeze(pred_grid).shape
+            center_xy = np.asarray(shp[1:3], np.float64) / 2
         towers, centroids = filter_towers(towers, centroids, center_xy, min_dist / 2)
     return aggregate_centroids(centroids)
 

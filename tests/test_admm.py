@@ -89,3 +89,32 @@ class TestADMMLbfgs:
         start_violation = float(jnp.maximum(-_constraint_values(net, params), 0).max())
         end_violation = float(jnp.maximum(-_constraint_values(net, final), 0).max())
         assert end_violation < start_violation
+
+
+class TestADMMValAndCheckpoints:
+    def test_val_scores_checkpoints_early_stop(self, tmp_path):
+        """val_loader is consumed (val_* scores recorded), per-metric
+        checkpoints are written, and restore_best works — previously fit()
+        silently ignored all three config intents."""
+        import os
+
+        import jax
+
+        from scenenet_tpu.losses import resolve_criterion
+
+        rng = np.random.default_rng(0)
+        batches = [((rng.random((2, 1, 12, 12, 12)) > 0.9).astype(np.float32),
+                    (rng.random((2, 1, 12, 12, 12)) > 0.97).astype(np.float32))
+                   for _ in range(3)]
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        cfg = ADMMConfig(max_epochs=2, optimizer="adam", learning_rate=1e-2,
+                         checkpoint_dir=str(tmp_path / "c"),
+                         run_dir=str(tmp_path / "r"),
+                         early_stop_metric="val_loss", early_stop_patience=5,
+                         log_gradients=False, admm_rho=1.0)
+        trainer = ADMMTrainer(net, resolve_criterion("mse")(), cfg)
+        final, best = trainer.fit(params, batches, val_loader=batches[:1])
+        assert "val_loss" in best and np.isfinite(best["val_loss"])
+        assert os.path.exists(tmp_path / "c" / "last.npz")
+        restored = trainer.restore_best("val_loss", final)
+        assert jax.tree.structure(restored) == jax.tree.structure(final)

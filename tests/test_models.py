@@ -202,3 +202,42 @@ class TestQuantilePallasBackend:
         x = jnp.zeros((1, 1, 12, 12, 12), jnp.float32)
         out = model.apply(params, x)
         assert out.shape == (1, 2, 12, 12, 12)
+
+
+class TestClassifierPenaltyHooks:
+    def test_forwards_constraint_hooks(self):
+        """SCENE_Net_Class forwards get_cvx_coefficients/get_geneo_params to
+        its gnet (SCENE_Net.py:456-460); without these hooks GENEO criteria
+        silently drop every penalty term when training the classifier."""
+        from scenenet_tpu.models.scenenet import SceneNetClassifier
+
+        clf, params = SceneNetClassifier.create(kernel_size=(9, 5, 5), seed=0)
+        cvx = clf.cvx_coefficients(params)
+        ge = clf.geneo_params_flat(params)
+        assert cvx and ge
+        assert isinstance(clf.last_lambda, str)
+        pd = clf.parameters_in_dict(params)
+        assert "tau" in pd
+        # the penalty actually bites: a GENEO criterion sees the params
+        from scenenet_tpu.losses import resolve_criterion
+
+        crit = resolve_criterion("geneo_tversky")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6,
+            focal_gamma=4)
+        x = jnp.zeros((1, 1, 12, 12, 12))
+        y = jnp.zeros((1, 1, 12, 12, 12))
+        pred = clf.apply(params, x, straight_through=True)
+        loss = crit(pred, y, clf.cvx_coefficients(params),
+                    clf.geneo_params_flat(params), clf.last_lambda)
+        assert np.isfinite(float(loss))
+
+    def test_tau_matches_reference_draw(self):
+        """Reference tau = (0.6-0.2)*rand — U[0, 0.4] (the tau_min shift is
+        missing THERE; reproduced as executed)."""
+        from scenenet_tpu.models.scenenet import SceneNetClassifier
+
+        taus = [float(SceneNetClassifier.create(seed=s)[1]["tau"])
+                for s in range(40)]
+        assert 0.0 <= min(taus) and max(taus) <= 0.4
+        assert max(taus) > 0.2  # spans the upper half of U[0, 0.4]

@@ -20,7 +20,9 @@ from scenenet_tpu.parallel import (
     spatial_scenenet_forward,
 )
 from scenenet_tpu.parallel.dp import make_distributed
-from scenenet_tpu.train.metrics import compute_metrics, init_metric_state, update_metrics
+from scenenet_tpu.train.metrics import (
+    compute_metrics, init_metric_state, metric_counts, update_metrics,
+)
 from scenenet_tpu.train.state import create_train_state
 
 
@@ -153,8 +155,7 @@ class TestShardedTrainStep:
 
         # metrics match the single-device confusion counts
         ref_m = update_metrics(init_metric_state(), pred, jnp.asarray(y), 0.65)
-        for a, b in zip(mstate, ref_m):
-            assert int(a) == int(b)
+        assert metric_counts(mstate) == metric_counts(ref_m)
 
     def test_two_steps_accumulate_metrics(self, devices8):
         mesh = make_mesh((2, 4), devices=devices8)
@@ -168,7 +169,7 @@ class TestShardedTrainStep:
         mstate = init_metric_state()
         state, mstate, _ = step(state, mstate, x, y)
         state, mstate, _ = step(state, mstate, x, y)
-        total = sum(int(v) for v in mstate)
+        total = sum(metric_counts(mstate))
         assert total == 2 * x.size  # every voxel counted exactly twice
         m = compute_metrics(mstate)
         assert np.isfinite(float(m["F1Score"]))

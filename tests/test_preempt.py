@@ -86,7 +86,7 @@ class TestSnapshotRoundTrip:
 
         net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
         state, _ = create_train_state(params, "adam", 1e-3)
-        mstate = MetricState(*(jnp.full((), i, jnp.float32) for i in range(4)))
+        mstate = MetricState(*(jnp.asarray([0, i], jnp.int32) for i in range(4)))
         keys = {"outer": jax.random.PRNGKey(5), "aug": jax.random.PRNGKey(9)}
         path = str(tmp_path / "snap.npz")
         save_train_snapshot(path, state, mstate, jnp.asarray(2.5), keys,
@@ -95,7 +95,9 @@ class TestSnapshotRoundTrip:
             path, state, keys)
         assert cursor == {"epoch": 3, "next_chunk": 2, "step": 19}
         assert float(rloss) == 2.5
-        assert [float(v) for v in rmstate] == [0.0, 1.0, 2.0, 3.0]
+        from scenenet_tpu.train.metrics import metric_counts
+
+        assert metric_counts(rmstate) == (0, 1, 2, 3)
         np.testing.assert_array_equal(np.asarray(rkeys["outer"]),
                                       np.asarray(keys["outer"]))
         for la, lb in zip(jax.tree.leaves(jax.tree.map(np.asarray, rstate)),
@@ -125,7 +127,7 @@ class TestProgrammaticPreemption:
         with open(snap.replace(".npz", ".json")) as f:
             cursor = json.load(f)["cursor"]
         assert cursor == {"kind": "chunk", "epoch": 0, "next_chunk": 1,
-                          "step": 3}
+                          "n_chunks": 4, "step": 3}
 
         t2, params2 = _trainer(tmp_path, "k2", max_epochs=3, epoch_chunks=4)
         got, _ = t2.fit_grid_cached(params2, grids, batch_size=4, augment=True,
@@ -394,3 +396,51 @@ class TestSnapshotLifecycle:
         got = restore_checkpoint(path, tree)
         np.testing.assert_array_equal(got["a"], tree["a"])
         assert json.load(open(str(tmp_path / "atomic.json")))["step"] == 7
+
+
+class TestChunkGeometryGuard:
+    def test_changed_epoch_chunks_starts_fresh(self, tmp_path, capsys):
+        """A next_chunk cursor is meaningless against a different chunk
+        partition (epoch_chunks changed between launches) — resume must
+        start fresh, not skip/duplicate batches."""
+        grids = _GridBox(16, 12, 1)
+        t1, params1 = _trainer(tmp_path, "g1", max_epochs=2, epoch_chunks=4)
+        request_preemption()
+        t1.fit_grid_cached(params1, grids, batch_size=4, augment=False,
+                           key=jax.random.PRNGKey(0))
+        snap = os.path.join(t1.config.checkpoint_dir, "preempt.npz")
+        assert os.path.exists(snap)
+
+        t2, params2 = _trainer(tmp_path, "g2", max_epochs=1, epoch_chunks=2)
+        final, _ = t2.fit_grid_cached(params2, grids, batch_size=4,
+                                      augment=False,
+                                      key=jax.random.PRNGKey(0),
+                                      resume_from=snap)
+        assert "chunk partition" in capsys.readouterr().out
+        assert final is not None
+
+    def test_changed_model_shape_starts_fresh(self, tmp_path, capsys):
+        """restore_checkpoint now validates shapes, so a stale snapshot of
+        a differently-shaped model is rejected instead of silently loading
+        old-architecture kernels."""
+        grids = _GridBox(16, 12, 1)
+        t1, params1 = _trainer(tmp_path, "m1", max_epochs=2, epoch_chunks=2)
+        request_preemption()
+        t1.fit_grid_cached(params1, grids, batch_size=4, augment=False,
+                           key=jax.random.PRNGKey(0))
+        snap = os.path.join(t1.config.checkpoint_dir, "preempt.npz")
+
+        from scenenet_tpu.losses import resolve_criterion as _rc
+        net2, params2 = SceneNet.create({"cy": 2, "cone": 1, "neg": 1},
+                                        kernel_size=(9, 5, 5), seed=3)
+        cfg = TrainConfig(checkpoint_dir=str(tmp_path / "cm2"),
+                          run_dir=str(tmp_path / "rm2"),
+                          early_stop_metric=None, log_gradients=False,
+                          max_epochs=1, epoch_chunks=2)
+        t2 = Trainer(net2, _rc("mse")(), cfg)
+        final, _ = t2.fit_grid_cached(params2, grids, batch_size=4,
+                                      augment=False,
+                                      key=jax.random.PRNGKey(0),
+                                      resume_from=snap)
+        assert "unusable" in capsys.readouterr().out
+        assert final is not None

@@ -52,14 +52,35 @@ class TestMetrics:
         split = init_metric_state()
         for i in range(0, 1000, 100):
             split = update_metrics(split, jnp.asarray(pred[i:i+100]), jnp.asarray(gt[i:i+100]))
-        for a, b in zip(whole, split):
-            assert int(a) == int(b)
+        from scenenet_tpu.train.metrics import metric_counts
+
+        assert metric_counts(whole) == metric_counts(split)
 
     def test_empty_positive_class(self):
         state = update_metrics(init_metric_state(), jnp.zeros(100), jnp.zeros(100))
         m = compute_metrics(state)
         assert float(m["Precision"]) == 0.0
         assert float(m["JaccardIndex"]) == pytest.approx(0.5)  # bg IoU=1, pos absent=0
+
+    def test_counts_exceed_int32_without_wrapping(self):
+        """A real epoch's tn can pass 2³¹ (TS40K is ~9k crops × 2.6e5
+        background voxels at 64³); the two-limb accumulators must keep
+        exact counts far beyond int32 (the old scalar int32 wrapped
+        negative and corrupted every metric downstream)."""
+        from scenenet_tpu.train.metrics import metric_counts
+
+        state = init_metric_state()
+        # 40k updates of 65,536 all-negative voxels = 2.62e9 tn > 2³¹,
+        # accumulated in one scan (as the cached-epoch paths do)
+        def body(c, s):
+            return update_metrics(s, jnp.zeros(65536), jnp.zeros(65536))
+
+        state = jax.lax.fori_loop(0, 40000, body, state)
+        tp, fp, fn, tn = metric_counts(state)
+        assert (tp, fp, fn) == (0, 0, 0)
+        assert tn == 40000 * 65536  # 2,621,440,000 — exact, no wrap
+        m = compute_metrics(state)
+        assert float(m["JaccardIndex"]) == pytest.approx(0.5)
 
 
 class TestStateAndOptim:
