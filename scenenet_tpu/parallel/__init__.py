@@ -1,4 +1,9 @@
-from scenenet_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding
+from scenenet_tpu.parallel.mesh import (
+    make_hybrid_mesh,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+)
 from scenenet_tpu.parallel.spatial import halo_conv3d, spatial_scenenet_forward
 from scenenet_tpu.parallel.dp import (
     make_dp_inference_fn,
@@ -7,6 +12,7 @@ from scenenet_tpu.parallel.dp import (
 )
 
 __all__ = [
+    "make_hybrid_mesh",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -45,6 +45,18 @@ assert local_batch_size(8) == 4
 
 mesh = make_mesh((8, 1))
 
+# hybrid (DCN × ICI) mesh: with 2 real processes the non-emulated
+# create_hybrid_device_mesh branch runs (process = granule on CPU); the
+# space axis must never cross the process ("slice") boundary
+from scenenet_tpu.parallel import make_hybrid_mesh
+import numpy as _np
+hmesh = make_hybrid_mesh(dcn_shape=(2, 1), ici_shape=(2, 2))
+assert hmesh.devices.shape == (4, 2), hmesh.devices.shape
+_pidx = _np.vectorize(lambda d: d.process_index)(hmesh.devices)
+assert len(set(_pidx[:2].ravel())) == 1, _pidx
+assert len(set(_pidx[2:].ravel())) == 1, _pidx
+assert _pidx[0, 0] != _pidx[2, 0], _pidx
+
 # each process contributes a DISTINCT local batch: proc p fills value p+1
 local_x = np.full((4, 1, 8, 8, 8), float(proc_id + 1), np.float32)
 local_y = np.full((4, 1, 8, 8, 8), float(10 * (proc_id + 1)), np.float32)

@@ -13,6 +13,7 @@ from scenenet_tpu.losses import resolve_criterion
 from scenenet_tpu.models import SceneNet
 from scenenet_tpu.ops.conv3d import conv3d_same
 from scenenet_tpu.parallel import (
+    make_hybrid_mesh,
     halo_conv3d,
     make_dp_inference_fn,
     make_mesh,
@@ -306,3 +307,61 @@ class TestOverlappedHalo:
         for a, b in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=3e-4, atol=1e-5)
+
+
+class TestHybridMesh:
+    """make_hybrid_mesh: multi-slice (DCN × ICI) axis composition. On the
+    single-process CPU backend slices are emulated by contiguous device
+    groups — the axis semantics under test are identical to the real
+    create_hybrid_device_mesh composition rule."""
+
+    def test_emulated_slice_layout_data_over_dcn(self, devices8):
+        mesh = make_hybrid_mesh(dcn_shape=(2, 1), ici_shape=(2, 2))
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("data", "space")
+        # the leading half of the data axis is slice 0, trailing half
+        # slice 1: a space-axis ppermute never crosses the slice boundary
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        assert set(ids[:2].ravel()) == {d.id for d in devices8[:4]}
+        assert set(ids[2:].ravel()) == {d.id for d in devices8[4:]}
+
+    def test_space_over_dcn_layout(self, devices8):
+        mesh = make_hybrid_mesh(dcn_shape=(1, 2), ici_shape=(4, 1))
+        assert mesh.devices.shape == (4, 2)
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        assert set(ids[:, 0]) == {d.id for d in devices8[:4]}
+        assert set(ids[:, 1]) == {d.id for d in devices8[4:]}
+
+    def test_shape_errors(self):
+        with pytest.raises(ValueError):
+            make_hybrid_mesh((2,), (2, 2))  # factor-count mismatch
+        with pytest.raises(ValueError):
+            make_hybrid_mesh((2, 1), (2, 1))  # 4 != 8 devices
+        with pytest.raises(ValueError):
+            make_hybrid_mesh((2, 2), (2, 1), axis_names=("a",))
+
+    def test_sharded_train_step_on_hybrid_mesh(self, devices8):
+        """The full sharded train step is mesh-layout-agnostic: running it
+        over the hybrid (2-slice DP × in-slice DP×space) mesh matches the
+        single-device loss exactly like the flat-mesh test."""
+        mesh = make_hybrid_mesh(dcn_shape=(2, 1), ici_shape=(2, 2))
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        crit = resolve_criterion("geneo_tversky")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6,
+            focal_gamma=4,
+        )
+        state, tx = create_train_state(params, "sgd", 1e-2,
+                                       net.trainable_mask(params))
+        step = make_sharded_train_step(net, crit, tx, mesh)
+        rng = np.random.default_rng(7)
+        x = (rng.random((4, 1, 32, 16, 16)) > 0.9).astype(np.float32)
+        y = (rng.random((4, 1, 32, 16, 16)) > 0.97).astype(np.float32)
+        mstate = init_metric_state()
+        new_state, mstate, loss = step(state, mstate, x, y)
+        pred = net.apply(params, jnp.asarray(x))
+        ref_loss = crit(pred, jnp.asarray(y), net.cvx_coefficients(params),
+                        net.geneo_params_flat(params), net.last_lambda)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+        ref_m = update_metrics(init_metric_state(), pred, jnp.asarray(y), 0.65)
+        assert metric_counts(mstate) == metric_counts(ref_m)
