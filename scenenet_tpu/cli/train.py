@@ -241,7 +241,45 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
                                                tuple(cfg.keep_labels),
                                                use_indices=not native_loader)
 
+    # mesh training (the reference's `gpus: -1` DDP intent as config):
+    # data/dcn_data shard the batch, space Z-shards the grid with halo-
+    # exchange conv — all through the exactness-tested sharded step
+    mesh = None
+    md, msp = int(cfg.mesh_data), int(cfg.mesh_space)
+    mdcn = int(getattr(cfg, "mesh_dcn_data", 1))
+    if md * msp * mdcn > 1:
+        import jax
+
+        from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
+
+        n_dev = len(jax.devices())
+        if md * msp * mdcn != n_dev:
+            raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space) = "
+                             f"{md * msp * mdcn} devices, but "
+                             f"{n_dev} are visible")
+        if cfg.model != "scenenet":
+            raise ValueError("mesh training is implemented for the scenenet "
+                             f"model (got model={cfg.model!r})")
+        if getattr(cfg, "constrained", "penalty") == "admm":
+            raise ValueError("mesh training is not supported with "
+                             "constrained=admm")
+        if cfg.batch_size % (md * mdcn):
+            raise ValueError(f"batch_size {cfg.batch_size} must divide by "
+                             f"the data shards ({md * mdcn})")
+        if cfg.voxel_grid_size[2] % msp:
+            raise ValueError(f"grid Z extent {cfg.voxel_grid_size[2]} must "
+                             f"divide by mesh_space ({msp})")
+        mesh = (make_hybrid_mesh((mdcn, 1), (md, msp)) if mdcn > 1
+                else make_mesh((md, msp)))
+        print(f"[mesh] training over {dict(mesh.shape)}"
+              + (f" ({mdcn}-way DP across slices)" if mdcn > 1 else ""))
+
     device_cache = cfg.device_cache
+    if mesh is not None and device_cache:
+        if device_cache != "auto":
+            print("[mesh] device_cache disabled (the one-scan cached-epoch "
+                  "paths are single-device; mesh training streams batches)")
+        device_cache = False
     if device_cache == "auto":
         device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
 
@@ -362,7 +400,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
                 val_loader=val_loader if len(val_ds) else None,
                 resume_from=preempt_snap)
     else:
-        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
+        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep,
+                          mesh=mesh)
         final_params, best = trainer.fit(params, train_loader,
                                          val_loader if len(val_ds) else None,
                                          resume_from=preempt_snap)

@@ -16,6 +16,7 @@ step over a (data, space) mesh where
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Tuple
 
 import jax
@@ -124,23 +125,44 @@ def make_sharded_train_step(
     batch_axis: str = "data",
     space_axis: str = "space",
     overlap: bool = False,
+    batch_prep: Callable | None = None,
+    with_grads: bool = False,
+    compiler_options: dict | None = None,
 ) -> Callable:
     """Full (DP × spatial) train step: returns jit'd
     ``step(state, mstate, x, y) -> (state, mstate, loss)`` where x/y are
     (B, 1, Z, X, Y) host arrays; sharding is applied inside.
     ``overlap=True`` uses the overlapped halo-exchange conv (forward AND
     its AD-derived backward run through the split formulation).
+
+    ``batch_prep`` (jittable, per-sample — e.g.
+    :func:`scenenet_tpu.train.make_device_voxelize_prep`) lets the step
+    consume RAW loader batches: on a pure-DP mesh (space size 1) the prep
+    runs *inside* ``shard_map`` on each shard's local samples, so
+    voxelization scales with the data axis; with a space axis the prep's
+    full-Z grids cannot be produced shard-locally, so it runs once under
+    plain jit and the grids are resharded (spatial sharding is a
+    memory-capacity play for big grids — see RESULTS.md — so the extra
+    reshard is off the critical path there).
+
+    ``with_grads=True`` appends the pmean'd gradients to the return
+    (``(state, mstate, loss, grads)``) for watch-all gradient logging.
     """
     axes = (batch_axis, space_axis)
     dist_criterion = make_distributed(criterion, axes)
     last = getattr(model, "last_lambda", None)
+    space_size = mesh.shape[space_axis]
+    jit = (functools.partial(jax.jit, compiler_options=compiler_options)
+           if compiler_options else jax.jit)
 
     def local_step(state: TrainState, mstate: MetricState, x, y):
         def loss_fn(params):
             pred = spatial_scenenet_forward(model, params, x, space_axis,
                                             overlap=overlap)
-            cvx = model.cvx_coefficients(params)
-            geneo = model.geneo_params_flat(params)
+            cvx = (model.cvx_coefficients(params)
+                   if hasattr(model, "cvx_coefficients") else {})
+            geneo = (model.geneo_params_flat(params)
+                     if hasattr(model, "geneo_params_flat") else {})
             return dist_criterion(pred, y, cvx, geneo, last), pred
 
         (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -159,22 +181,73 @@ def make_sharded_train_step(
         delta = update_metrics(zero, pred, y, tau)
         delta = MetricState(*(lax.psum(v, axes) for v in delta))
         mstate = merge_metric_states(mstate, delta)
+        if with_grads:
+            return new_state, mstate, loss, grads
         return new_state, mstate, loss
+
+    out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
+    data_size = mesh.shape[batch_axis]
+
+    def _check_divisible(b, z):
+        if b % data_size:
+            raise ValueError(
+                f"batch {b} not divisible by mesh '{batch_axis}' axis "
+                f"({data_size}); use drop_last or a divisible batch size")
+        if z is not None and z % space_size:
+            raise ValueError(
+                f"grid Z extent {z} not divisible by mesh '{space_axis}' "
+                f"axis ({space_size})")
+
+    if batch_prep is not None and space_size == 1:
+        # raw-batch path: prep runs shard-locally (voxelization is
+        # per-sample, so sharding the raw (B, N, …) arrays over the data
+        # axis keeps it exact); one shard_map per loader-batch arity
+        sharded_cache: dict = {}
+
+        def step(state, mstate, *batch):
+            batch = tuple(jnp.asarray(b) for b in batch)
+            _check_divisible(batch[0].shape[0], None)
+            key = tuple(b.ndim for b in batch)
+            if key not in sharded_cache:
+                raw_specs = tuple(
+                    P(batch_axis, *([None] * (b.ndim - 1))) for b in batch)
+
+                def local(state, mstate, *raw):
+                    x, y = batch_prep(*raw)
+                    return local_step(state, mstate, x, y)
+
+                sharded_cache[key] = jit(shard_map(
+                    local, mesh=mesh, in_specs=(P(), P()) + raw_specs,
+                    out_specs=out_specs, check_vma=False))
+            placed = tuple(
+                jax.device_put(b, NamedSharding(
+                    mesh, P(batch_axis, *([None] * (b.ndim - 1)))))
+                for b in batch)
+            return sharded_cache[key](state, mstate, *placed)
+
+        return step
 
     batch_spec = P(batch_axis, None, space_axis, None, None)
     sharded = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), batch_spec, batch_spec),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
-    jit_step = jax.jit(sharded)
+    jit_step = jit(sharded)
     sharding = NamedSharding(mesh, batch_spec)
+    prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
 
-    def step(state, mstate, x, y):
-        x = jax.device_put(jnp.asarray(x), sharding)
-        y = jax.device_put(jnp.asarray(y), sharding)
+    def step(state, mstate, *batch):
+        if prep_jit is not None:
+            x, y = prep_jit(*batch)
+        else:
+            x, y = batch
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        _check_divisible(x.shape[0], x.shape[2])
+        x = jax.device_put(x, sharding)
+        y = jax.device_put(y, sharding)
         return jit_step(state, mstate, x, y)
 
     return step

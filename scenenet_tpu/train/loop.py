@@ -149,16 +149,30 @@ class Trainer:
 
     def __init__(self, model: Any, criterion: Callable, config: TrainConfig,
                  logger: Optional[RunLogger] = None,
-                 batch_prep: Optional[Callable] = None):
+                 batch_prep: Optional[Callable] = None,
+                 mesh: Optional[Any] = None):
         """``batch_prep`` (optional, jittable) maps a raw loader batch to
         (x, y) voxel tensors *inside* the compiled step — e.g.
         :func:`make_device_voxelize_prep` to fuse on-device voxelization
-        into training."""
+        into training.
+
+        ``mesh`` (optional ``jax.sharding.Mesh`` with (data, space) axes,
+        from :func:`scenenet_tpu.parallel.make_mesh` /
+        :func:`~scenenet_tpu.parallel.make_hybrid_mesh`) runs :meth:`fit`'s
+        train step through the exactness-tested sharded step
+        (:func:`scenenet_tpu.parallel.make_sharded_train_step`): DP over
+        ``data``, Z-halo-exchange conv over ``space``, pmean'd grads/loss
+        and psum'd confusion counts — the reference's ``gpus: -1`` DDP
+        intent (``scripts/main.py:228``) as a config knob. Validation/test
+        evaluation stays on the replicated params (exact, no shard-
+        divisibility constraint on eval batches)."""
         self.model = model
         self.criterion = criterion
         self.config = config
         self.logger = logger or RunLogger(config.run_dir, use_wandb=config.use_wandb)
         self.batch_prep = batch_prep
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self._prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
@@ -245,8 +259,41 @@ class Trainer:
             mstate = update_metrics(mstate, pred, y, cfg.tau)
             return mstate, loss, pred
 
+        if self.mesh is not None:
+            train_step = self._mesh_train_step(tx)
         self._train_step, self._eval_step = train_step, eval_step
         return train_step, eval_step
+
+    def _mesh_train_step(self, tx):
+        """Sharded replacement for the per-batch train step (see __init__'s
+        ``mesh``). The unsupported combinations fail loudly here rather
+        than training something subtly different."""
+        cfg = self.config
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
+        if self._stateful:
+            raise ValueError(
+                "mesh training supports stateless models only (cross-shard "
+                "batch-stats sync for stateful models is not implemented)")
+        if optimizer_needs_value_fn(cfg.optimizer):
+            raise ValueError(
+                f"optimizer '{cfg.optimizer}' re-evaluates the loss inside "
+                "its update (linesearch) and is not supported with mesh "
+                "training")
+        if cfg.precision == "bf16":
+            raise ValueError("precision='bf16' is not supported with mesh "
+                             "training (f32 masters only)")
+        if not hasattr(self.model, "synthesize_kernels"):
+            raise ValueError(
+                "mesh training requires the SceneNet forward protocol "
+                "(synthesize_kernels/effective_lambdas); model "
+                f"{type(self.model).__name__} does not provide it")
+        from scenenet_tpu.parallel.dp import make_sharded_train_step
+
+        return make_sharded_train_step(
+            self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
+            batch_prep=self.batch_prep, with_grads=True,
+            compiler_options=cfg.compiler_options)
 
     # ---- fit ---------------------------------------------------------------
 

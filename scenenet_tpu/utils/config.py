@@ -123,9 +123,14 @@ class ExperimentConfig:
     checkpoint_every_n_steps: int = 0
     resume_preempted: bool = True
 
-    # parallel
+    # parallel: mesh training (scenenet, per-batch fit path). data ×
+    # space × dcn_data must equal the device count; batch_size must divide
+    # by data × dcn_data and the grid Z extent by space. dcn_data > 1
+    # places that DP factor ACROSS slices (make_hybrid_mesh) so the halo
+    # exchange never leaves a slice.
     mesh_data: int = 1
     mesh_space: int = 1
+    mesh_dcn_data: int = 1
 
     # logging / export
     use_wandb: bool = False

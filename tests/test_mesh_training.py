@@ -1,0 +1,198 @@
+"""Mesh training as a user-facing feature: Trainer(mesh=...) and the CLI
+mesh_data/mesh_space/mesh_dcn_data knobs route the per-batch fit through
+the exactness-tested sharded step (DP × spatial halo conv). Equality is
+checked against the plain single-logical-device Trainer on identical data
+and seeds."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import SceneNet
+from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
+from scenenet_tpu.train import Trainer, TrainConfig, make_device_voxelize_prep
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    assert len(jax.devices()) == 8
+    return jax.devices()
+
+
+def _criterion():
+    return resolve_criterion("geneo_tversky")(
+        weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+        tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4,
+    )
+
+
+def _grid_batches(n=3, b=8, z=16):
+    rng = np.random.default_rng(11)
+    out = []
+    for _ in range(n):
+        x = (rng.random((b, 1, z, 12, 12)) > 0.9).astype(np.float32)
+        y = (rng.random((b, 1, z, 12, 12)) > 0.97).astype(np.float32)
+        out.append((x, y))
+    return out
+
+
+def _raw_batches(n=2, b=8, npts=1500):
+    rng = np.random.default_rng(12)
+    out = []
+    for _ in range(n):
+        pts = rng.uniform([0, 0, 0], [30, 30, 60], (b, npts, 3)).astype(np.float32)
+        labels = rng.choice([1, 2, 15], size=(b, npts)).astype(np.int32)
+        mask = np.ones((b, npts), bool)
+        out.append((pts, labels, mask))
+    return out
+
+
+def _cfg(tmp_path, tag, **kw):
+    base = dict(
+        max_epochs=2, optimizer="sgd", learning_rate=1e-2,
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        run_dir=str(tmp_path / f"run_{tag}"),
+        early_stop_metric=None)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _assert_tree_close(a, b, rtol=2e-4, atol=1e-6):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=rtol, atol=atol)
+
+
+class TestTrainerMesh:
+    @pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+    def test_fit_matches_single_device(self, devices8, tmp_path, shape):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        batches = _grid_batches()
+
+        ref = Trainer(net, _criterion(), _cfg(tmp_path, "ref"))
+        ref_params, ref_best = ref.fit(params, batches,
+                                       val_loader=batches[:1])
+
+        mesh = make_mesh(shape, devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, f"mesh{shape[0]}"),
+                     mesh=mesh)
+        mesh_params, mesh_best = mt.fit(params, batches,
+                                        val_loader=batches[:1])
+
+        _assert_tree_close(mesh_params, ref_params)
+        # f32 psum reduction-order noise only
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+        assert mesh_best["train_F1Score"] == pytest.approx(
+            ref_best["train_F1Score"], rel=1e-5)
+
+    def test_fit_raw_prep_shard_local_matches(self, devices8, tmp_path):
+        """Pure-DP mesh with device voxelization: the prep runs INSIDE
+        shard_map on each shard's local samples and must equal the
+        single-device prep + fit."""
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        prep = make_device_voxelize_prep((16, 16, 16), (15,),
+                                         use_indices=False)
+        batches = _raw_batches()
+
+        ref = Trainer(net, _criterion(), _cfg(tmp_path, "refp"),
+                      batch_prep=prep)
+        ref_params, ref_best = ref.fit(params, batches)
+
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "meshp"),
+                     batch_prep=prep, mesh=mesh)
+        mesh_params, mesh_best = mt.fit(params, batches)
+
+        _assert_tree_close(mesh_params, ref_params)
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+
+    def test_hybrid_mesh_fit_runs(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        mesh = make_hybrid_mesh((2, 1), (2, 2))
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "hyb"), mesh=mesh)
+        final, best = mt.fit(params, _grid_batches(n=2))
+        assert np.isfinite(best["train_loss"])
+
+    def test_indivisible_batch_raises(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "bad"), mesh=mesh)
+        bad = [(np.zeros((3, 1, 16, 12, 12), np.float32),
+                np.zeros((3, 1, 16, 12, 12), np.float32))]
+        with pytest.raises(ValueError, match="not divisible"):
+            mt.fit(params, bad)
+
+    def test_unsupported_combinations_raise(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        mesh = make_mesh((8, 1), devices=devices8)
+        batches = _grid_batches(n=1)
+
+        mt = Trainer(net, _criterion(),
+                     _cfg(tmp_path, "lbfgs", optimizer="lbfgs"), mesh=mesh)
+        with pytest.raises(ValueError, match="linesearch"):
+            mt.fit(params, batches)
+
+        mt = Trainer(net, _criterion(),
+                     _cfg(tmp_path, "bf16", precision="bf16"), mesh=mesh)
+        with pytest.raises(ValueError, match="bf16"):
+            mt.fit(params, batches)
+
+        from scenenet_tpu.models import CnnBaseline
+
+        cnn, cparams = CnnBaseline.create(kernel_size=(3, 3, 3), seed=0)
+        mt = Trainer(cnn, _criterion(), _cfg(tmp_path, "cnn"), mesh=mesh)
+        with pytest.raises(ValueError, match="SceneNet forward protocol"):
+            mt.fit(cparams, batches)
+
+
+class TestCLIMesh:
+    @pytest.fixture(scope="class")
+    def dataset(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ts40k_mesh")
+        rng = np.random.default_rng(3)
+        for split, n in [("fit", 16), ("test", 2)]:
+            (root / split).mkdir()
+            for i in range(n):
+                m = int(rng.integers(1500, 2500))
+                xyz = rng.uniform([0, 0, 0], [30, 30, 60], (m, 3))
+                labels = rng.choice([1, 2, 15], size=m, p=[0.5, 0.35, 0.15])
+                np.save(root / split / f"sample_{i}.npy",
+                        np.concatenate([xyz, labels[:, None]], axis=1))
+        return str(root)
+
+    def test_cli_mesh_data_end_to_end(self, dataset, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        cfg = ExperimentConfig(
+            data_path=dataset, output_dir=str(tmp_path), batch_size=8,
+            voxel_grid_size=(16, 16, 16), kernel_size=(9, 5, 5),
+            max_epochs=1, num_workers=2, early_stop_metric=None,
+            val_split=0.25, mesh_data=4, mesh_space=2,
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+        assert "test_F1Score" in scores
+
+    def test_cli_mesh_validation(self, dataset, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        base = dict(data_path=dataset, output_dir=str(tmp_path),
+                    voxel_grid_size=(16, 16, 16), max_epochs=1,
+                    early_stop_metric=None)
+        with pytest.raises(ValueError, match="devices"):
+            run(ExperimentConfig(batch_size=4, mesh_data=3, **base))
+        with pytest.raises(ValueError, match="scenenet"):
+            run(ExperimentConfig(batch_size=8, mesh_data=8, model="cnn",
+                                 **base))
+        with pytest.raises(ValueError, match="divide"):
+            run(ExperimentConfig(batch_size=6, mesh_data=4, mesh_space=2,
+                                 **base))
