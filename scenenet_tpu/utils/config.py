@@ -38,6 +38,8 @@ class ExperimentConfig:
     voxel_size: Optional[Tuple[float, float, float]] = None
     num_workers: int = 8
     val_split: float = 0.1
+    # fit/test folder fraction at ETL time (cli.build_samples --test-split;
+    # the trained splits are the physical fit/ test/ folders)
     test_split: float = 0.3
     keep_labels: Tuple[int, ...] = (15,)
     device_voxelization: bool = True   # TPU path; False = host-oracle path

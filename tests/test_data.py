@@ -481,3 +481,38 @@ class TestPallasHistFloatWeights:
         np.testing.assert_array_equal(np.asarray(counts), ref_c)
         # bf16 lhs precision: weights round to bf16 before accumulation
         np.testing.assert_allclose(np.asarray(wsum), ref_w, rtol=1e-2)
+
+
+class TestBuildSamplesCLI:
+    """The reference's ETL entry (`core/datasets/ts40k.py:229` main) as a
+    CLI, wiring the config's test_split fraction into the folder split."""
+
+    def test_ts40k_subcommand(self, tmp_path):
+        rng = np.random.default_rng(5)
+        xyz, cls = _make_scene(rng)
+        las_dir = tmp_path / "las"
+        las_dir.mkdir()
+        write_las(str(las_dir / "scene.las"), xyz, cls.astype(np.uint8))
+        out = str(tmp_path / "out")
+        import scenenet_tpu.data.pcd as eda
+        from scenenet_tpu.cli.build_samples import main
+
+        orig = eda.extract_towers
+        eda.extract_towers = lambda x, eps=10, min_points=300: orig(x, eps=3, min_points=50)
+        try:
+            n = main(["ts40k", "--las-dir", str(las_dir), "--out", out,
+                      "--test-split", "0.5"])
+        finally:
+            eda.extract_towers = orig
+        assert n == 2
+        assert len(os.listdir(os.path.join(out, "fit"))) + \
+            len(os.listdir(os.path.join(out, "test"))) == 2
+
+    def test_bad_split_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from scenenet_tpu.cli.build_samples import main
+
+        with _pytest.raises(SystemExit):
+            main(["ts40k", "--las-dir", "x", "--out", str(tmp_path),
+                  "--test-split", "1.5"])
