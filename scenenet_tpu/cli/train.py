@@ -169,6 +169,33 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     ckpt_dir = cfg.checkpoint_dir or os.path.join(run_dir, "checkpoints")
 
     criterion = build_criterion(cfg)
+    if getattr(cfg, "model_backend", "auto") == "autotune":
+        # measured backend choice at THIS run's exact shapes (the static
+        # regime table in RESULTS.md, made live); see tune.autotune_backend
+        import jax
+
+        if cfg.model not in ("scenenet", "quantile"):
+            raise ValueError("model_backend=autotune supports the scenenet "
+                             f"family (got model={cfg.model!r})")
+        if jax.default_backend() != "tpu":
+            print("[autotune] non-TPU backend; using model_backend=auto")
+            cfg.model_backend = "auto"
+        else:
+            from scenenet_tpu.models import SceneNet
+            from scenenet_tpu.train.tune import autotune_backend
+
+            winner, times = autotune_backend(
+                lambda b: SceneNet.create(cfg.geneo_num(), cfg.kernel_size,
+                                          seed=cfg.seed, backend=b),
+                criterion, cfg.batch_size,
+                tuple(cfg.voxel_grid_size[::-1]),
+                optimizer=cfg.optimizer,
+                cache_key_extra=f"ks={cfg.kernel_size},"
+                                f"geneo={cfg.geneo_num()}")
+            print("[autotune] backend -> " + winner + "  ("
+                  + ", ".join(f"{k}: {v:.2f} ms" for k, v in times.items())
+                  + ")")
+            cfg.model_backend = winner
     model, params = build_model(cfg)
     if cfg.resume_from_checkpoint:
         ckpt_path = os.path.join(ckpt_dir, cfg.resume_checkpoint_name + ".npz")

@@ -138,3 +138,120 @@ def _is_oom(e: Exception) -> bool:
     return any(s in msg for s in
                ("resource_exhausted", "resource exhausted", "out of memory",
                 "failed to allocate", "allocation failure", "hbm"))
+
+
+def measure_train_step_ms(model, criterion, params, x, y,
+                          optimizer: str = "sgd", iters: int = 6) -> float:
+    """Wall-time one jitted train step (grads + optax update), honest
+    through the remote-execution tunnel: ``iters`` steps form a data
+    dependency chain (each consumes the previous TrainState), and the
+    final loss is fetched as a host scalar — so every step must have
+    executed before the clock stops (``block_until_ready`` alone can
+    return early through the tunnel; see bench.py)."""
+    import time
+
+    from scenenet_tpu.train.state import create_train_state
+
+    mask = (model.trainable_mask(params)
+            if hasattr(model, "trainable_mask") else None)
+    state, tx = create_train_state(params, optimizer, 1e-3, mask)
+    last = getattr(model, "last_lambda", None)
+
+    @jax.jit
+    def step(state, x, y):
+        def loss_fn(p):
+            pred = model.apply(p, x)
+            cvx = (model.cvx_coefficients(p)
+                   if hasattr(model, "cvx_coefficients") else {})
+            geneo = (model.geneo_params_flat(p)
+                     if hasattr(model, "geneo_params_flat") else {})
+            return criterion(pred, y, cvx, geneo, last)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             opt_state=opt_state), loss
+
+    s, loss = step(state, x, y)  # compile + warm
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, loss = step(s, x, y)
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def autotune_backend(
+    make_model: Callable[[str], Tuple[Any, Any]],
+    criterion: Callable,
+    batch_size: int,
+    grid_zxy: Tuple[int, int, int],
+    candidates: Tuple[str, ...] = ("pallas", "pallas_mxu"),
+    optimizer: str = "sgd",
+    iters: int = 6,
+    cache_path: Optional[str] = None,
+    cache_key_extra: str = "",
+    refresh: bool = False,
+) -> Tuple[str, dict]:
+    """Measured backend selection (``model_backend: autotune``): time one
+    real train step per candidate backend on the live device at the run's
+    exact (batch, grid) shape and pick the fastest.
+
+    The static regime table (benchmarks/RESULTS.md: ``pallas_mxu`` wins
+    64³ training, loses at 128³) becomes a live measurement — new shapes,
+    chip generations, or toolchains re-derive it instead of trusting the
+    doc. Results are cached in a JSON file keyed by
+    (device_kind, shapes, optimizer, candidates) so the measurement is
+    paid once per configuration, not per run; atomic-replace writes keep
+    concurrent runs safe. Returns ``(winner, {backend: ms})`` (the cached
+    ms dict on a hit).
+    """
+    import json
+    import os
+    import tempfile
+
+    dev = jax.devices()[0]
+    key = json.dumps({
+        "device": getattr(dev, "device_kind", dev.platform),
+        "batch": int(batch_size), "grid": list(map(int, grid_zxy)),
+        "optimizer": optimizer, "candidates": list(candidates),
+        "extra": cache_key_extra,
+    }, sort_keys=True)
+    if cache_path is None:
+        cache_path = os.path.expanduser(
+            "~/.cache/scenenet_tpu/autotune.json")
+    cache = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+    if not refresh and key in cache:
+        entry = cache[key]
+        return entry["winner"], entry["times_ms"]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((batch_size, 1, *grid_zxy)) > 0.9)
+                    .astype(np.float32))
+    y = jnp.asarray((rng.random((batch_size, 1, *grid_zxy)) > 0.97)
+                    .astype(np.float32))
+    times = {}
+    for cand in candidates:
+        model, params = make_model(cand)
+        times[cand] = measure_train_step_ms(model, criterion, params, x, y,
+                                            optimizer=optimizer, iters=iters)
+    winner = min(times, key=times.get)
+
+    cache[key] = {"winner": winner, "times_ms": times}
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache_path))
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, cache_path)
+    except OSError:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return winner, times

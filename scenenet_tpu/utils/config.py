@@ -67,7 +67,12 @@ class ExperimentConfig:
     auto_scale_batch_size: bool = False  # power-of-two OOM probe
     # "auto" → pallas on TPU, xla elsewhere. The fused Pallas stencil is
     # 4.1× the XLA conv for the full train step (see benchmarks/RESULTS.md)
-    model_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_mxu"
+    # "auto" | "xla" | "pallas" | "pallas_mxu" | "autotune" — autotune
+    # MEASURES one train step per pallas candidate at the run's exact
+    # (batch, grid) shape on the live chip and picks the fastest (cached
+    # per shape/device; train.tune.autotune_backend). auto = static rule
+    # (TPU→pallas, else xla).
+    model_backend: str = "auto"
     cylinder_geneo: int = 1
     arrow_geneo: int = 1
     neg_sphere_geneo: int = 1

@@ -96,3 +96,83 @@ class TestCliDevSwitches:
         scores = run(cfg)
         assert np.isfinite(scores["test_loss"])
         assert "[auto_lr_find] suggested learning_rate" in capsys.readouterr().out
+
+
+class TestAutotuneBackend:
+    def _crit(self):
+        return resolve_criterion("focal_tversky")(
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6,
+            focal_gamma=4)
+
+    def test_measures_picks_and_caches(self, tmp_path, monkeypatch):
+        from scenenet_tpu.train import tune as tune_mod
+
+        calls = []
+
+        def fake_measure(model, criterion, params, x, y, optimizer="sgd",
+                         iters=6):
+            calls.append(model.backend)
+            return {"xla": 5.0, "pallas": 2.0}[model.backend]
+
+        monkeypatch.setattr(tune_mod, "measure_train_step_ms", fake_measure)
+        cache = str(tmp_path / "autotune.json")
+        make = lambda b: SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                         backend=b)
+        winner, times = tune_mod.autotune_backend(
+            make, self._crit(), 2, (12, 12, 12),
+            candidates=("xla", "pallas"), cache_path=cache)
+        assert winner == "pallas" and times["xla"] == 5.0
+        assert calls == ["xla", "pallas"]
+
+        # cache hit: no re-measurement
+        winner2, times2 = tune_mod.autotune_backend(
+            make, self._crit(), 2, (12, 12, 12),
+            candidates=("xla", "pallas"), cache_path=cache)
+        assert (winner2, times2) == (winner, times) and len(calls) == 2
+
+        # different shape = different key = fresh measurement
+        tune_mod.autotune_backend(
+            make, self._crit(), 4, (12, 12, 12),
+            candidates=("xla", "pallas"), cache_path=cache)
+        assert len(calls) == 4
+
+        # refresh forces re-measurement of a cached key
+        tune_mod.autotune_backend(
+            make, self._crit(), 2, (12, 12, 12),
+            candidates=("xla", "pallas"), cache_path=cache, refresh=True)
+        assert len(calls) == 6
+
+    def test_real_measurement_runs(self, tmp_path):
+        """Unmocked path: one real timed train step per candidate on the
+        test backend (tiny shapes; xla only — pallas interpret timing is
+        meaningless on CPU)."""
+        from scenenet_tpu.train.tune import autotune_backend
+
+        make = lambda b: SceneNet.create(kernel_size=(3, 3, 3), seed=0,
+                                         backend=b)
+        winner, times = autotune_backend(
+            make, self._crit(), 2, (8, 8, 8), candidates=("xla",),
+            iters=2, cache_path=str(tmp_path / "c.json"))
+        assert winner == "xla" and times["xla"] > 0
+
+    def test_cli_rejects_non_scenenet(self, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        with pytest.raises(ValueError, match="autotune"):
+            run(ExperimentConfig(data_path=str(tmp_path), model="cnn",
+                                 model_backend="autotune",
+                                 output_dir=str(tmp_path)))
+
+    def test_cli_autotune_fallback_off_tpu(self, tmp_path, small_cloud,
+                                           capsys):
+        """On a non-TPU backend the autotune knob degrades to the static
+        'auto' rule instead of timing meaningless interpret-mode kernels."""
+        from scenenet_tpu.cli.train import run
+
+        helper = TestCliDevSwitches()
+        cfg = helper._cfg(tmp_path, small_cloud, fast_dev_run=True,
+                          model_backend="autotune")
+        scores = run(cfg)
+        assert np.isfinite(scores["test_loss"])
+        assert "[autotune] non-TPU backend" in capsys.readouterr().out
