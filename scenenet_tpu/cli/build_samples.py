@@ -24,7 +24,9 @@ import argparse
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Build training samples (offline ETL)")
-    sub = parser.add_subparsers(dest="dataset", required=True)
+    # dest must not be "dataset": the kitti subparser's --dataset option
+    # would overwrite the subcommand name in the namespace
+    sub = parser.add_subparsers(dest="command", required=True)
 
     ts = sub.add_parser("ts40k", help=".las tiles -> tower-crop npy samples")
     ts.add_argument("--las-dir", action="append", required=True,
@@ -43,7 +45,7 @@ def main(argv=None):
     kt.add_argument("--min-pole-points", type=int, default=5)
 
     args = parser.parse_args(argv)
-    if args.dataset == "ts40k":
+    if args.command == "ts40k":
         from scenenet_tpu.data.ts40k import build_data_samples
 
         if not 0.0 <= args.test_split < 1.0:

@@ -62,14 +62,14 @@ def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
             backend=backend)
     if cfg.model == "cnn":
         return CnnBaseline.create(conv_num=3, kernel_size=cfg.kernel_size, seed=seed,
-                                  input_shape=(1, 1, *cfg.voxel_grid_size[::-1]))
+                                  input_shape=(1, 1, *cfg.grid_zxy()))
     if cfg.model == "unet":
         import jax.numpy as jnp
 
         # precision: bf16 → bf16 compute dtype inside the flax module (the
         # Trainer-level cast alone is undone by the f32 BatchNorm stats)
         dtype = jnp.bfloat16 if getattr(cfg, "precision", "f32") == "bf16" else jnp.float32
-        return UNet3D.create(seed=seed, input_shape=(1, 1, *cfg.voxel_grid_size[::-1]),
+        return UNet3D.create(seed=seed, input_shape=(1, 1, *cfg.grid_zxy()),
                              dtype=dtype)
     raise NotImplementedError(f"model {cfg.model!r}")
 
@@ -169,9 +169,46 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     ckpt_dir = cfg.checkpoint_dir or os.path.join(run_dir, "checkpoints")
 
     criterion = build_criterion(cfg)
+
+    # mesh training (the reference's `gpus: -1` DDP intent as config):
+    # data/dcn_data shard the batch, space Z-shards the grid with halo-
+    # exchange conv — all through the exactness-tested sharded step.
+    # Resolved FIRST so the shape-dependent tuners below (autotune,
+    # auto_scale) see the per-shard shapes the step will actually run.
+    mesh = None
+    md, msp = int(cfg.mesh_data), int(cfg.mesh_space)
+    mdcn = int(getattr(cfg, "mesh_dcn_data", 1))
+    if md * msp * mdcn > 1:
+        import jax
+
+        from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
+
+        n_dev = len(jax.devices())
+        if md * msp * mdcn != n_dev:
+            raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space) = "
+                             f"{md * msp * mdcn} devices, but "
+                             f"{n_dev} are visible")
+        if cfg.model != "scenenet":
+            raise ValueError("mesh training is implemented for the scenenet "
+                             f"model (got model={cfg.model!r})")
+        if getattr(cfg, "constrained", "penalty") == "admm":
+            raise ValueError("mesh training is not supported with "
+                             "constrained=admm")
+        if cfg.batch_size % (md * mdcn):
+            raise ValueError(f"batch_size {cfg.batch_size} must divide by "
+                             f"the data shards ({md * mdcn})")
+        if cfg.voxel_grid_size[2] % msp:
+            raise ValueError(f"grid Z extent {cfg.voxel_grid_size[2]} must "
+                             f"divide by mesh_space ({msp})")
+        mesh = (make_hybrid_mesh((mdcn, 1), (md, msp)) if mdcn > 1
+                else make_mesh((md, msp)))
+        print(f"[mesh] training over {dict(mesh.shape)}"
+              + (f" ({mdcn}-way DP across slices)" if mdcn > 1 else ""))
+
     if getattr(cfg, "model_backend", "auto") == "autotune":
-        # measured backend choice at THIS run's exact shapes (the static
-        # regime table in RESULTS.md, made live); see tune.autotune_backend
+        # measured backend choice at THIS run's exact per-device shapes
+        # (the static regime table in RESULTS.md, made live); see
+        # tune.autotune_backend
         import jax
 
         if cfg.model not in ("scenenet", "quantile"):
@@ -184,15 +221,20 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             from scenenet_tpu.models import SceneNet
             from scenenet_tpu.train.tune import autotune_backend
 
+            # under a mesh the backend runs on PER-SHARD extents — time
+            # those, not the global shape (which may not even fit a chip)
+            gz, gx, gy = cfg.grid_zxy()
+            shard_batch = cfg.batch_size // (md * mdcn)
+            shard_grid = (gz // msp, gx, gy)
             winner, times = autotune_backend(
                 lambda b: SceneNet.create(cfg.geneo_num(), cfg.kernel_size,
                                           seed=cfg.seed, backend=b),
-                criterion, cfg.batch_size,
-                tuple(cfg.voxel_grid_size[::-1]),
+                criterion, shard_batch, shard_grid,
                 optimizer=cfg.optimizer,
                 cache_key_extra=f"ks={cfg.kernel_size},"
                                 f"geneo={cfg.geneo_num()}")
-            print("[autotune] backend -> " + winner + "  ("
+            print(f"[autotune] backend -> {winner} at per-shard "
+                  f"(batch {shard_batch}, grid {shard_grid})  ("
                   + ", ".join(f"{k}: {v:.2f} ms" for k, v in times.items())
                   + ")")
             cfg.model_backend = winner
@@ -268,38 +310,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
                                                tuple(cfg.keep_labels),
                                                use_indices=not native_loader)
 
-    # mesh training (the reference's `gpus: -1` DDP intent as config):
-    # data/dcn_data shard the batch, space Z-shards the grid with halo-
-    # exchange conv — all through the exactness-tested sharded step
-    mesh = None
-    md, msp = int(cfg.mesh_data), int(cfg.mesh_space)
-    mdcn = int(getattr(cfg, "mesh_dcn_data", 1))
-    if md * msp * mdcn > 1:
-        import jax
-
-        from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
-
-        n_dev = len(jax.devices())
-        if md * msp * mdcn != n_dev:
-            raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space) = "
-                             f"{md * msp * mdcn} devices, but "
-                             f"{n_dev} are visible")
-        if cfg.model != "scenenet":
-            raise ValueError("mesh training is implemented for the scenenet "
-                             f"model (got model={cfg.model!r})")
-        if getattr(cfg, "constrained", "penalty") == "admm":
-            raise ValueError("mesh training is not supported with "
-                             "constrained=admm")
-        if cfg.batch_size % (md * mdcn):
-            raise ValueError(f"batch_size {cfg.batch_size} must divide by "
-                             f"the data shards ({md * mdcn})")
-        if cfg.voxel_grid_size[2] % msp:
-            raise ValueError(f"grid Z extent {cfg.voxel_grid_size[2]} must "
-                             f"divide by mesh_space ({msp})")
-        mesh = (make_hybrid_mesh((mdcn, 1), (md, msp)) if mdcn > 1
-                else make_mesh((md, msp)))
-        print(f"[mesh] training over {dict(mesh.shape)}"
-              + (f" ({mdcn}-way DP across slices)" if mdcn > 1 else ""))
+    if mesh is not None and len(train_ds) < cfg.batch_size:
+        # make_loaders would fall back to drop_last=False and emit one
+        # ragged batch that violates the data-shard divisibility at step
+        # time — fail at config time instead
+        raise ValueError(f"mesh training needs at least one full batch: "
+                         f"{len(train_ds)} training samples < batch_size "
+                         f"{cfg.batch_size}")
 
     device_cache = cfg.device_cache
     if mesh is not None and device_cache:
@@ -310,7 +327,12 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     if device_cache == "auto":
         device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
 
-    if getattr(cfg, "auto_scale_batch_size", False) and \
+    if getattr(cfg, "auto_scale_batch_size", False) and mesh is not None:
+        # the single-device probe below would measure 1/N of the mesh's
+        # real capacity (or spuriously OOM where the sharded step fits)
+        print("[auto_scale_batch_size] skipped: probe is single-device; "
+              "size the global batch as shards × per-shard capacity")
+    elif getattr(cfg, "auto_scale_batch_size", False) and \
             cfg.device_voxelization and cfg.model in ("scenenet", "quantile"):
         # power-of-two probe of the largest batch that compiles + runs a
         # real grads step (the reference's auto_scale_batch_size intent;
@@ -458,7 +480,7 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
 
         path = os.path.join(ckpt_dir, f"{cfg.project}.stablehlo")
         export_forward(model, final_params,
-                       (1, 1, *cfg.voxel_grid_size[::-1]), path)
+                       (1, 1, *cfg.grid_zxy()), path)
         print(f"exported StableHLO to {path}")
     return {**best, **test_scores}
 

@@ -116,6 +116,93 @@ def make_dp_inference_fn(model, mesh: Mesh, space_axis: str | None = None,
     return run
 
 
+def make_sharded_eval_step(
+    model,
+    criterion,
+    mesh: Mesh,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    space_axis: str = "space",
+    batch_prep: Callable | None = None,
+    overlap: bool = False,
+    compiler_options: dict | None = None,
+) -> Callable:
+    """Eval twin of :func:`make_sharded_train_step`: forward + loss +
+    confusion-count delta over the mesh, so validation/test passes fit in
+    the same per-device memory envelope as the sharded training step
+    (spatial sharding is chosen exactly when ONE device cannot hold the
+    full grid — a replicated plain-jit eval would OOM there).
+
+    Returns ``eval_step(params, model_state, mstate, *batch) ->
+    (mstate, loss, pred)`` (``model_state`` accepted for signature parity
+    with the single-device step; mesh eval is stateless-only). Batches
+    whose leading dim divides the data axis are batch-sharded; ragged
+    tails (val loaders don't drop_last) fall back to a batch-REPLICATED
+    variant sharded over space only — every device computes the same
+    full-batch forward on its Z slab, so correctness holds for any batch
+    size while the memory bound stays per-slab. ``batch_prep`` runs under
+    plain jit before sharding (eval batches are small; the conv/loss is
+    the memory hog, not the prep).
+    """
+    last = getattr(model, "last_lambda", None)
+    data_size = mesh.shape[batch_axis]
+    jit = (functools.partial(jax.jit, compiler_options=compiler_options)
+           if compiler_options else jax.jit)
+    prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
+
+    def _local_eval(axes):
+        dist_criterion = make_distributed(criterion, axes)
+
+        def local_eval(params, mstate, x, y):
+            pred = spatial_scenenet_forward(model, params, x, space_axis,
+                                            overlap=overlap)
+            cvx = (model.cvx_coefficients(params)
+                   if hasattr(model, "cvx_coefficients") else {})
+            geneo = (model.geneo_params_flat(params)
+                     if hasattr(model, "geneo_params_flat") else {})
+            loss = dist_criterion(pred, y, cvx, geneo, last)
+            loss = lax.pmean(loss, axes)
+            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+            delta = update_metrics(zero, pred, y, tau)
+            # psum only over the axes the batch is actually sharded on —
+            # a replicated batch would double-count over the data axis
+            delta = MetricState(*(lax.psum(v, axes) for v in delta))
+            return merge_metric_states(mstate, delta), loss, pred
+
+        return local_eval
+
+    dp_spec = P(batch_axis, None, space_axis, None, None)
+    rep_spec = P(None, None, space_axis, None, None)
+    dp_step = jit(shard_map(
+        _local_eval((batch_axis, space_axis)), mesh=mesh,
+        in_specs=(P(), P(), dp_spec, dp_spec),
+        out_specs=(P(), P(), dp_spec), check_vma=False))
+    rep_step = jit(shard_map(
+        _local_eval((space_axis,)), mesh=mesh,
+        in_specs=(P(), P(), rep_spec, rep_spec),
+        out_specs=(P(), P(), rep_spec), check_vma=False))
+
+    def eval_step(params, model_state, mstate, *batch):
+        del model_state  # mesh eval is stateless-only (guarded upstream)
+        if prep_jit is not None:
+            x, y = prep_jit(*batch)
+        else:
+            x, y = batch
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if x.shape[2] % mesh.shape[space_axis]:
+            raise ValueError(
+                f"grid Z extent {x.shape[2]} not divisible by mesh "
+                f"'{space_axis}' axis ({mesh.shape[space_axis]})")
+        divisible = x.shape[0] % data_size == 0
+        spec = dp_spec if divisible else rep_spec
+        sharding = NamedSharding(mesh, spec)
+        x = jax.device_put(x, sharding)
+        y = jax.device_put(y, sharding)
+        return (dp_step if divisible else rep_step)(params, mstate, x, y)
+
+    return eval_step
+
+
 def make_sharded_train_step(
     model,
     criterion,

@@ -164,8 +164,11 @@ class Trainer:
         ``data``, Z-halo-exchange conv over ``space``, pmean'd grads/loss
         and psum'd confusion counts — the reference's ``gpus: -1`` DDP
         intent (``scripts/main.py:228``) as a config knob. Validation/test
-        evaluation stays on the replicated params (exact, no shard-
-        divisibility constraint on eval batches)."""
+        evaluation runs through the sharded eval twin
+        (:func:`~scenenet_tpu.parallel.dp.make_sharded_eval_step`); ragged
+        tail batches fall back to a batch-replicated, space-sharded
+        variant — exact for any batch size, same per-device memory
+        envelope as training."""
         self.model = model
         self.criterion = criterion
         self.config = config
@@ -261,8 +264,22 @@ class Trainer:
 
         if self.mesh is not None:
             train_step = self._mesh_train_step(tx)
+            eval_step = self._mesh_eval_step()
         self._train_step, self._eval_step = train_step, eval_step
         return train_step, eval_step
+
+    def _mesh_eval_step(self):
+        """Sharded eval twin: validation/test under a mesh must fit the
+        SAME per-device memory envelope as the sharded train step (a
+        replicated plain-jit forward would OOM exactly in the capacity
+        regime mesh_space exists for)."""
+        from scenenet_tpu.parallel.dp import make_sharded_eval_step
+
+        cfg = self.config
+        return make_sharded_eval_step(
+            self.model, self.criterion, self.mesh, tau=cfg.tau,
+            batch_prep=self.batch_prep,
+            compiler_options=cfg.compiler_options)
 
     def _mesh_train_step(self, tx):
         """Sharded replacement for the per-batch train step (see __init__'s

@@ -150,12 +150,16 @@ def measure_train_step_ms(model, criterion, params, x, y,
     return early through the tunnel; see bench.py)."""
     import time
 
-    from scenenet_tpu.train.state import create_train_state
+    from scenenet_tpu.train.state import (
+        create_train_state,
+        optimizer_needs_value_fn,
+    )
 
     mask = (model.trainable_mask(params)
             if hasattr(model, "trainable_mask") else None)
     state, tx = create_train_state(params, optimizer, 1e-3, mask)
     last = getattr(model, "last_lambda", None)
+    needs_vf = optimizer_needs_value_fn(optimizer)
 
     @jax.jit
     def step(state, x, y):
@@ -168,7 +172,13 @@ def measure_train_step_ms(model, criterion, params, x, y,
             return criterion(pred, y, cvx, geneo, last)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if needs_vf:  # linesearch optimizers (lbfgs) re-evaluate the loss
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params,
+                value=loss, grad=grads, value_fn=loss_fn)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=opt_state), loss
@@ -240,8 +250,20 @@ def autotune_backend(
     times = {}
     for cand in candidates:
         model, params = make_model(cand)
-        times[cand] = measure_train_step_ms(model, criterion, params, x, y,
-                                            optimizer=optimizer, iters=iters)
+        try:
+            times[cand] = measure_train_step_ms(
+                model, criterion, params, x, y, optimizer=optimizer,
+                iters=iters)
+        except Exception as e:  # one infeasible candidate must not
+            if not _is_oom(e):  # abort the run (find_max_batch_size idiom)
+                raise
+            print(f"[autotune] candidate {cand!r} OOMs at this shape; "
+                  "skipped")
+            times[cand] = float("inf")
+    if not any(np.isfinite(v) for v in times.values()):
+        raise RuntimeError(
+            f"every autotune candidate {candidates} OOM'd at batch "
+            f"{batch_size} grid {grid_zxy}")
     winner = min(times, key=times.get)
 
     cache[key] = {"winner": winner, "times_ms": times}

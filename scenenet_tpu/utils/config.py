@@ -156,6 +156,15 @@ class ExperimentConfig:
             "focal_gamma": self.focal_gamma,
         }
 
+    def grid_zxy(self) -> Tuple[int, int, int]:
+        """Grid tensor extents in TENSOR order (n_z, n_x, n_y).
+        ``voxel_grid_size`` is in the reference's config order
+        (n_x, n_y, n_z); the voxel tensors are (B, 1, Z, X, Y)
+        (ops/voxelize.py:156) — NOT the plain reverse, which would swap
+        X and Y for non-square grids."""
+        g = self.voxel_grid_size
+        return (g[2], g[0], g[1])
+
     def geneo_num(self) -> Dict[str, int]:
         return {
             "cy": self.cylinder_geneo,

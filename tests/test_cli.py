@@ -203,3 +203,11 @@ class TestNullCoercion:
         assert cfg.early_stop_metric is None
         cfg = load_config(None, {"voxel_size": "null", "data_path": "x"})
         assert cfg.voxel_size is None
+
+
+class TestGridOrder:
+    def test_grid_zxy_non_square(self):
+        """voxel_grid_size is (n_x, n_y, n_z) config order; tensors are
+        (B, 1, Z, X, Y). A plain [::-1] would swap X and Y."""
+        cfg = ExperimentConfig(voxel_grid_size=(32, 64, 256))
+        assert cfg.grid_zxy() == (256, 32, 64)

@@ -196,3 +196,57 @@ class TestCLIMesh:
         with pytest.raises(ValueError, match="divide"):
             run(ExperimentConfig(batch_size=6, mesh_data=4, mesh_space=2,
                                  **base))
+
+
+class TestMeshEval:
+    """Eval under a mesh runs sharded (same per-device memory envelope as
+    the train step); ragged tail batches take the batch-replicated,
+    space-sharded variant — both must match single-device evaluation."""
+
+    def test_evaluate_matches_with_ragged_tail(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        rng = np.random.default_rng(21)
+        loader = []
+        for b in (8, 5):  # 5 does NOT divide the 2-way data axis
+            x = (rng.random((b, 1, 16, 12, 12)) > 0.9).astype(np.float32)
+            y = (rng.random((b, 1, 16, 12, 12)) > 0.97).astype(np.float32)
+            loader.append((x, y))
+
+        ref = Trainer(net, _criterion(), _cfg(tmp_path, "er"))
+        ref_scores = ref.evaluate(params, loader)
+
+        mesh = make_mesh((2, 4), devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "em"), mesh=mesh)
+        mesh_scores = mt.evaluate(params, loader)
+
+        for k, v in ref_scores.items():
+            assert mesh_scores[k] == pytest.approx(v, rel=3e-4, abs=1e-6), k
+
+    def test_fit_with_ragged_val_loader(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "fv"), mesh=mesh)
+        rng = np.random.default_rng(22)
+        val = [(np.asarray((rng.random((3, 1, 16, 12, 12)) > 0.9), np.float32),
+                np.asarray((rng.random((3, 1, 16, 12, 12)) > 0.97), np.float32))]
+        final, best = mt.fit(params, _grid_batches(n=2), val_loader=val)
+        assert np.isfinite(best["val_loss"])
+
+    def test_cli_mesh_dataset_too_small(self, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "tiny"
+        rng = np.random.default_rng(9)
+        for split, n in [("fit", 3), ("test", 1)]:
+            (root / split).mkdir(parents=True)
+            for i in range(n):
+                xyz = rng.uniform([0, 0, 0], [30, 30, 60], (1500, 3))
+                labels = rng.choice([1, 2, 15], size=1500)
+                np.save(root / split / f"s{i}.npy",
+                        np.concatenate([xyz, labels[:, None]], axis=1))
+        with pytest.raises(ValueError, match="at least one full batch"):
+            run(ExperimentConfig(
+                data_path=str(root), output_dir=str(tmp_path),
+                batch_size=8, voxel_grid_size=(16, 16, 16), max_epochs=1,
+                early_stop_metric=None, val_split=0.0, mesh_data=8))

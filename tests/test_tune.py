@@ -176,3 +176,73 @@ class TestAutotuneBackend:
         scores = run(cfg)
         assert np.isfinite(scores["test_loss"])
         assert "[autotune] non-TPU backend" in capsys.readouterr().out
+
+
+class TestAutotuneRobustness:
+    def _crit(self):
+        return resolve_criterion("focal_tversky")(
+            tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6,
+            focal_gamma=4)
+
+    def test_oom_candidate_is_skipped(self, tmp_path, monkeypatch):
+        from scenenet_tpu.train import tune as tune_mod
+
+        def fake(model, criterion, params, x, y, optimizer="sgd", iters=6):
+            if model.backend == "pallas_mxu":
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory "
+                                   "allocating 1TB")
+            return 3.0
+
+        monkeypatch.setattr(tune_mod, "measure_train_step_ms", fake)
+        make = lambda b: SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                         backend=b)
+        winner, times = tune_mod.autotune_backend(
+            make, self._crit(), 2, (12, 12, 12),
+            candidates=("pallas", "pallas_mxu"),
+            cache_path=str(tmp_path / "c.json"))
+        assert winner == "pallas"
+        assert times["pallas_mxu"] == float("inf")
+
+    def test_all_candidates_oom_raises(self, tmp_path, monkeypatch):
+        from scenenet_tpu.train import tune as tune_mod
+
+        def fake(*a, **k):
+            raise MemoryError
+
+        monkeypatch.setattr(tune_mod, "measure_train_step_ms", fake)
+        make = lambda b: SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                         backend=b)
+        with pytest.raises(RuntimeError, match="OOM"):
+            tune_mod.autotune_backend(
+                make, self._crit(), 2, (12, 12, 12), candidates=("xla",),
+                cache_path=str(tmp_path / "c.json"))
+
+    def test_non_oom_error_propagates(self, tmp_path, monkeypatch):
+        from scenenet_tpu.train import tune as tune_mod
+
+        def fake(*a, **k):
+            raise TypeError("shape bug")
+
+        monkeypatch.setattr(tune_mod, "measure_train_step_ms", fake)
+        make = lambda b: SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                         backend=b)
+        with pytest.raises(TypeError):
+            tune_mod.autotune_backend(
+                make, self._crit(), 2, (12, 12, 12), candidates=("xla",),
+                cache_path=str(tmp_path / "c.json"))
+
+    def test_lbfgs_measurement_runs(self):
+        """Linesearch optimizers supply value/grad/value_fn to tx.update
+        like the real train step does."""
+        from scenenet_tpu.train.tune import measure_train_step_ms
+
+        net, params = SceneNet.create(kernel_size=(3, 3, 3), seed=0,
+                                      backend="xla")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray((rng.random((2, 1, 8, 8, 8)) > 0.9)
+                        .astype(np.float32))
+        y = jnp.asarray((rng.random((2, 1, 8, 8, 8)) > 0.97)
+                        .astype(np.float32))
+        ms = measure_train_step_ms(net, self._crit(), params, x, y,
+                                   optimizer="lbfgs", iters=2)
+        assert ms > 0
