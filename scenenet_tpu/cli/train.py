@@ -188,9 +188,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space) = "
                              f"{md * msp * mdcn} devices, but "
                              f"{n_dev} are visible")
-        if cfg.model != "scenenet":
-            raise ValueError("mesh training is implemented for the scenenet "
-                             f"model (got model={cfg.model!r})")
+        if msp > 1 and cfg.model != "scenenet":
+            raise ValueError("spatial sharding (mesh_space > 1) is "
+                             "implemented for the scenenet model "
+                             f"(got model={cfg.model!r})")
+        if cfg.model == "unet":
+            raise ValueError("mesh training supports stateless models only "
+                             "(unet's BatchNorm stats need cross-shard sync)")
         if getattr(cfg, "constrained", "penalty") == "admm":
             raise ValueError("mesh training is not supported with "
                              "constrained=admm")

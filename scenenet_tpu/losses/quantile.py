@@ -8,8 +8,9 @@ summed over Q, weighted by the WeightedMSE histogram scheme, then averaged.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from scenenet_tpu.losses.geneo_loss import cvx_loss, positive_regularizer
@@ -20,6 +21,10 @@ from scenenet_tpu.losses.weighted_mse import WeightedMSE
 class QuantileLoss:
     w_mse: WeightedMSE
     quantiles: Sequence[float] = (0.1, 0.5, 0.9)
+    # set by parallel.dp.make_distributed under mesh training: the nested
+    # w_mse then normalizes weights globally and the final mean is pmean'd
+    # so the sharded loss equals the unsharded one (equal shard sizes)
+    axis_names: Tuple[str, ...] = ()
 
     @classmethod
     def create(cls, targets=None, weighting_scheme_path=None,
@@ -47,7 +52,10 @@ class QuantileLoss:
         if gt.ndim == pred.ndim and gt.shape[1] == 1:
             gt = gt[:, 0]
         weights = self.w_mse.weight_target(gt)
-        return jnp.mean(weights * self.quantile_loss(pred, gt))
+        loss = jnp.mean(weights * self.quantile_loss(pred, gt))
+        if self.axis_names:
+            loss = jax.lax.pmean(loss, self.axis_names)
+        return loss
 
 
 @dataclasses.dataclass(frozen=True)

@@ -147,11 +147,17 @@ class FocalLoss:
 
 @dataclasses.dataclass(frozen=True)
 class IoULoss:
-    """1 − soft IoU."""
+    """1 − soft IoU. ``axis_names`` (set by make_distributed under mesh
+    training) psums the global intersection/union so the sharded loss is
+    the true global IoU, not a mean of per-shard IoUs."""
 
     smooth: float = 1.0
+    axis_names: Tuple[str, ...] = ()
 
     def __call__(self, pred, target, *_args, **_kw):
         inter = jnp.sum(pred * target)
         union = jnp.sum(pred + target) - inter
+        if self.axis_names:
+            inter = lax.psum(inter, self.axis_names)
+            union = lax.psum(union, self.axis_names)
         return 1.0 - (inter + self.smooth) / (union + self.smooth)

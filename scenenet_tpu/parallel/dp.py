@@ -150,12 +150,17 @@ def make_sharded_eval_step(
            if compiler_options else jax.jit)
     prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
 
+    space_size = mesh.shape[space_axis]
+
     def _local_eval(axes):
         dist_criterion = make_distributed(criterion, axes)
 
         def local_eval(params, mstate, x, y):
-            pred = spatial_scenenet_forward(model, params, x, space_axis,
-                                            overlap=overlap)
+            if space_size == 1:  # see make_sharded_train_step: pure-DP
+                pred = model.apply(params, x)  # works for any stateless
+            else:  # model; halo forward only needed when Z is sharded
+                pred = spatial_scenenet_forward(model, params, x, space_axis,
+                                                overlap=overlap)
             cvx = (model.cvx_coefficients(params)
                    if hasattr(model, "cvx_coefficients") else {})
             geneo = (model.geneo_params_flat(params)
@@ -244,8 +249,14 @@ def make_sharded_train_step(
 
     def local_step(state: TrainState, mstate: MetricState, x, y):
         def loss_fn(params):
-            pred = spatial_scenenet_forward(model, params, x, space_axis,
-                                            overlap=overlap)
+            # space size 1: no halo needed — plain apply, so ANY stateless
+            # model (quantile ensemble, CNN baseline) trains pure-DP; the
+            # SceneNet-specific halo forward only gates space > 1
+            if space_size == 1:
+                pred = model.apply(params, x)
+            else:
+                pred = spatial_scenenet_forward(model, params, x, space_axis,
+                                                overlap=overlap)
             cvx = (model.cvx_coefficients(params)
                    if hasattr(model, "cvx_coefficients") else {})
             geneo = (model.geneo_params_flat(params)

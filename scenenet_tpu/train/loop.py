@@ -300,11 +300,13 @@ class Trainer:
         if cfg.precision == "bf16":
             raise ValueError("precision='bf16' is not supported with mesh "
                              "training (f32 masters only)")
-        if not hasattr(self.model, "synthesize_kernels"):
+        space = self.mesh.shape.get("space", 1)
+        if space > 1 and not hasattr(self.model, "synthesize_kernels"):
             raise ValueError(
-                "mesh training requires the SceneNet forward protocol "
-                "(synthesize_kernels/effective_lambdas); model "
-                f"{type(self.model).__name__} does not provide it")
+                "spatial sharding (mesh space > 1) requires the SceneNet "
+                "forward protocol (synthesize_kernels/effective_lambdas); "
+                f"model {type(self.model).__name__} does not provide it — "
+                "pure-DP (space=1) supports any stateless model")
         from scenenet_tpu.parallel.dp import make_sharded_train_step
 
         return make_sharded_train_step(

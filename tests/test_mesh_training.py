@@ -146,8 +146,11 @@ class TestTrainerMesh:
 
         from scenenet_tpu.models import CnnBaseline
 
+        # pure-DP (space=1) accepts any stateless model; the SceneNet
+        # forward protocol is required only once Z is spatially sharded
         cnn, cparams = CnnBaseline.create(kernel_size=(3, 3, 3), seed=0)
-        mt = Trainer(cnn, _criterion(), _cfg(tmp_path, "cnn"), mesh=mesh)
+        smesh = make_mesh((2, 4), devices=devices8)
+        mt = Trainer(cnn, _criterion(), _cfg(tmp_path, "cnn"), mesh=smesh)
         with pytest.raises(ValueError, match="SceneNet forward protocol"):
             mt.fit(cparams, batches)
 
@@ -190,8 +193,12 @@ class TestCLIMesh:
                     early_stop_metric=None)
         with pytest.raises(ValueError, match="devices"):
             run(ExperimentConfig(batch_size=4, mesh_data=3, **base))
+        # cnn is fine pure-DP; spatial sharding stays scenenet-only
         with pytest.raises(ValueError, match="scenenet"):
-            run(ExperimentConfig(batch_size=8, mesh_data=8, model="cnn",
+            run(ExperimentConfig(batch_size=8, mesh_data=4, mesh_space=2,
+                                 model="cnn", **base))
+        with pytest.raises(ValueError, match="stateless"):
+            run(ExperimentConfig(batch_size=8, mesh_data=8, model="unet",
                                  **base))
         with pytest.raises(ValueError, match="divide"):
             run(ExperimentConfig(batch_size=6, mesh_data=4, mesh_space=2,
@@ -250,3 +257,73 @@ class TestMeshEval:
                 data_path=str(root), output_dir=str(tmp_path),
                 batch_size=8, voxel_grid_size=(16, 16, 16), max_epochs=1,
                 early_stop_metric=None, val_split=0.0, mesh_data=8))
+
+
+class TestMeshOtherModels:
+    """Pure-DP (space=1) mesh training covers the whole stateless model
+    family: plain apply per shard, no halo forward needed."""
+
+    def test_cnn_pure_dp_matches(self, devices8, tmp_path):
+        from scenenet_tpu.models import CnnBaseline
+
+        cnn, cparams = CnnBaseline.create(kernel_size=(3, 3, 3), seed=0)
+        batches = _grid_batches(n=2)
+        ref = Trainer(cnn, _criterion(), _cfg(tmp_path, "cref"))
+        ref_params, ref_best = ref.fit(cparams, batches)
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(cnn, _criterion(), _cfg(tmp_path, "cmesh"), mesh=mesh)
+        mesh_params, mesh_best = mt.fit(cparams, batches)
+        _assert_tree_close(mesh_params, ref_params)
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+
+    def test_quantile_pure_dp_matches(self, devices8, tmp_path):
+        """QuantileLoss carries axis_names now: its w_mse weights are
+        globally normalized and the final mean pmean'd, so the sharded
+        pinball loss equals the single-device one."""
+        from scenenet_tpu.models import QuantileSceneNet
+
+        qnet, qparams = QuantileSceneNet.create(kernel_size=(9, 5, 5),
+                                                seed=0)
+        crit = resolve_criterion("quantile_geneo")(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1,
+            convex_weight=5)
+        batches = _grid_batches(n=2)
+        ref = Trainer(qnet, crit, _cfg(tmp_path, "qref"))
+        ref_params, ref_best = ref.fit(qparams, batches)
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(qnet, crit, _cfg(tmp_path, "qmesh"), mesh=mesh)
+        mesh_params, mesh_best = mt.fit(qparams, batches)
+        _assert_tree_close(mesh_params, ref_params)
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+
+    def test_iou_loss_distributed_matches(self, devices8):
+        """IoULoss psums its global intersection/union under sharding —
+        the true global IoU, not a mean of per-shard IoUs (which differs
+        whenever shards have different positive densities)."""
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scenenet_tpu.losses.segmentation import IoULoss
+        from scenenet_tpu.parallel.dp import make_distributed
+
+        mesh = make_mesh((8, 1), devices=devices8)
+        rng = np.random.default_rng(31)
+        # deliberately skewed positives so per-shard IoUs differ
+        pred = (rng.random((8, 1, 8, 8, 8)) ** 3).astype(np.float32)
+        target = (rng.random((8, 1, 8, 8, 8)) > 0.99).astype(np.float32)
+        target[:2] = (rng.random((2, 1, 8, 8, 8)) > 0.6).astype(np.float32)
+
+        # axes match the batch's actual sharding (data only here; the
+        # production steps shard over both axes and run check_vma=False)
+        iou = make_distributed(IoULoss(), ("data",))
+        spec = P("data", None, None, None, None)
+        fn = jax.jit(shard_map(
+            lambda p, t: iou(p, t), mesh=mesh,
+            in_specs=(spec, spec), out_specs=P(), check_vma=False))
+        sharding = NamedSharding(mesh, spec)
+        loss_s = fn(jax.device_put(jnp.asarray(pred), sharding),
+                    jax.device_put(jnp.asarray(target), sharding))
+        loss_r = IoULoss()(jnp.asarray(pred), jnp.asarray(target))
+        np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-6)
