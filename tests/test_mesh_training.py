@@ -327,3 +327,54 @@ class TestMeshOtherModels:
                     jax.device_put(jnp.asarray(target), sharding))
         loss_r = IoULoss()(jnp.asarray(pred), jnp.asarray(target))
         np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-6)
+
+
+class TestRegistryShardingExactness:
+    """Every registry criterion, computed inside shard_map on the
+    data-sharded batch after make_distributed, must equal its unsharded
+    value — the guarantee mesh training relies on for ANY configured
+    criterion, not just the default geneo_tversky."""
+
+    NAMES = ["mse", "dice", "dice_bce", "tversky", "focal_tversky",
+             "geneo", "geneo_dice", "geneo_dice_bce", "geneo_tversky",
+             "quantile", "quantile_geneo"]
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_sharded_equals_unsharded(self, devices8, name):
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scenenet_tpu.parallel.dp import make_distributed
+
+        crit = resolve_criterion(name)(
+            weight_alpha=1, weight_epsilon=0.1, mse_weight=1,
+            convex_weight=5, tversky_alpha=2, tversky_beta=1,
+            tversky_smooth=1e-6, focal_gamma=4)
+        rng = np.random.default_rng(41)
+        quantile = name.startswith("quantile")
+        # skewed positives per sample so per-shard statistics differ
+        thresh = np.linspace(0.6, 0.99, 8).reshape(8, 1, 1, 1, 1)
+        y = (rng.random((8, 1, 8, 8, 8)) > thresh).astype(np.float32)
+        pshape = (8, 3, 8, 8, 8) if quantile else (8, 1, 8, 8, 8)
+        pred = (rng.random(pshape) ** 2).astype(np.float32)
+        # GENEO penalty inputs are replicated params: identical per shard
+        cvx = {"l0": jnp.asarray(0.4), "l1": jnp.asarray(-0.1)}
+        geneo = {"r": jnp.asarray(-0.3), "s": jnp.asarray(0.7)}
+        last = "l1"  # the derived-λ key the GENEO convexity penalty reads
+        if quantile:
+            cvx, geneo = [cvx, cvx], [geneo, geneo]
+
+        ref = crit(jnp.asarray(pred), jnp.asarray(y), cvx, geneo, last)
+
+        mesh = make_mesh((8, 1), devices=devices8)
+        dist = make_distributed(crit, ("data",))
+        spec = P("data", None, None, None, None)
+        fn = jax.jit(shard_map(
+            lambda p, t: jax.lax.pmean(dist(p, t, cvx, geneo, last),
+                                       ("data",)),
+            mesh=mesh, in_specs=(spec, spec), out_specs=P(),
+            check_vma=False))
+        sharding = NamedSharding(mesh, spec)
+        loss_s = fn(jax.device_put(jnp.asarray(pred), sharding),
+                    jax.device_put(jnp.asarray(y), sharding))
+        np.testing.assert_allclose(float(loss_s), float(ref), rtol=2e-5)
