@@ -378,3 +378,65 @@ class TestRegistryShardingExactness:
         loss_s = fn(jax.device_put(jnp.asarray(pred), sharding),
                     jax.device_put(jnp.asarray(y), sharding))
         np.testing.assert_allclose(float(loss_s), float(ref), rtol=2e-5)
+
+
+class TestMeshFitFeatures:
+    """Trainer features that interact with the sharded step: gradient
+    accumulation and mid-epoch preemption/resume must behave identically
+    to the single-device fit."""
+
+    def test_grad_accumulation_matches(self, devices8, tmp_path):
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        batches = _grid_batches(n=4)
+        cfg_kw = dict(max_epochs=1, accumulate_grad_batches=2)
+
+        ref = Trainer(net, _criterion(),
+                      _cfg(tmp_path, "aref", **cfg_kw))
+        ref_params, _ = ref.fit(params, batches)
+
+        mesh = make_mesh((2, 4), devices=devices8)
+        mt = Trainer(net, _criterion(),
+                     _cfg(tmp_path, "amesh", **cfg_kw), mesh=mesh)
+        mesh_params, _ = mt.fit(params, batches)
+        _assert_tree_close(mesh_params, ref_params)
+
+    def test_preempt_resume_matches_unkilled(self, devices8, tmp_path):
+        """request_preemption() mid-epoch under the mesh: the snapshot +
+        resume must land on the same params as an uninterrupted run."""
+        from scenenet_tpu.train import preempt as pre
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        batches = _grid_batches(n=4)
+        mesh = make_mesh((2, 4), devices=devices8)
+
+        full = Trainer(net, _criterion(), _cfg(tmp_path, "pfull"),
+                       mesh=mesh)
+        full_params, _ = full.fit(params, batches)
+
+        class PreemptAfter:
+            """Loader that requests preemption after yielding 2 batches
+            of the FIRST epoch (the fit flushes at the batch boundary)."""
+
+            def __init__(self):
+                self.armed = True
+
+            def __iter__(self):
+                for i, b in enumerate(batches):
+                    if self.armed and i == 2:
+                        pre.request_preemption()
+                        self.armed = False
+                    yield b
+
+            def __len__(self):
+                return len(batches)
+
+        cfg = _cfg(tmp_path, "pkill")
+        killed = Trainer(net, _criterion(), cfg, mesh=mesh)
+        _, _ = killed.fit(params, PreemptAfter())
+        assert killed.preempted
+        snap = os.path.join(cfg.checkpoint_dir, pre.SNAPSHOT_NAME)
+        assert os.path.exists(snap)
+
+        resumed = Trainer(net, _criterion(), cfg, mesh=mesh)
+        res_params, _ = resumed.fit(params, batches, resume_from=snap)
+        _assert_tree_close(res_params, full_params, rtol=0, atol=0)
