@@ -324,10 +324,23 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
 
     device_cache = cfg.device_cache
     if mesh is not None and device_cache:
-        if device_cache != "auto":
-            print("[mesh] device_cache disabled (the one-scan cached-epoch "
-                  "paths are single-device; mesh training streams batches)")
-        device_cache = False
+        # the grid cache scales over a pure-DP mesh (replicated cache +
+        # shard_map'd compute, Trainer.fit_grid_cached); the point cache's
+        # per-batch revoxelization scan stays single-device
+        if msp > 1:
+            if device_cache != "auto":
+                print("[mesh] device_cache disabled (cached epochs are "
+                      "pure-DP; spatial sharding streams batches)")
+            device_cache = False
+        else:
+            if device_cache == "auto":
+                device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
+            if device_cache in (True, "points"):
+                print("[mesh] point-cache epochs are single-device "
+                      "(arbitrary-angle augmentation); streaming the "
+                      "sharded fit instead — use device_cache: grids for "
+                      "DP cached epochs (grid-space D4 augmentation)")
+                device_cache = False
     if device_cache == "auto":
         device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
 
@@ -436,7 +449,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             DeviceGridCache, DevicePointCache,
         )
 
-        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep)
+        trainer = Trainer(model, criterion, tcfg, batch_prep=batch_prep,
+                          mesh=mesh)
         cache = DevicePointCache(train_ds)
         if device_cache == "grids":
             gcache = DeviceGridCache(cache, batch_prep)

@@ -281,6 +281,67 @@ class Trainer:
             batch_prep=self.batch_prep,
             compiler_options=cfg.compiler_options)
 
+    def _make_cached_sharded_update(self, tx, batch_size):
+        """Pure-DP shard_map'd (grads + update + metrics) for the cached-
+        epoch scans (see :meth:`fit_grid_cached`): the cheap batch
+        assembly stays replicated outside, only the dominant compute is
+        sharded. Mirrors parallel.dp.make_sharded_train_step's local step
+        with the cached paths' direct-scan metric carry."""
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from scenenet_tpu.parallel.dp import make_distributed
+        from scenenet_tpu.train.metrics import merge_metric_states
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
+        cfg = self.config
+        mesh = self.mesh
+        if mesh.shape.get("space", 1) > 1:
+            raise ValueError(
+                "cached-epoch mesh training is pure-DP (mesh space must be "
+                "1); spatially-sharded training streams batches via fit()")
+        if optimizer_needs_value_fn(cfg.optimizer):
+            raise ValueError(
+                f"optimizer '{cfg.optimizer}' (linesearch) is not supported "
+                "with mesh training")
+        if cfg.precision == "bf16":
+            raise ValueError("precision='bf16' is not supported with mesh "
+                             "training (f32 masters only)")
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh data axis ({mesh.shape['data']})")
+        axes = tuple(mesh.axis_names)
+        dist_crit = make_distributed(self.criterion, axes)
+        last = getattr(self.model, "last_lambda", None)
+
+        def local_update(state, mstate, x, y):
+            def loss_fn(p):
+                pred = self.model.apply(p, x)
+                cvx = (self.model.cvx_coefficients(p)
+                       if hasattr(self.model, "cvx_coefficients") else {})
+                geneo = (self.model.geneo_params_flat(p)
+                         if hasattr(self.model, "geneo_params_flat") else {})
+                return dist_crit(pred, y, cvx, geneo, last), pred
+
+            (loss, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = lax.pmean(grads, axes)
+            loss = lax.pmean(loss, axes)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=opt_state)
+            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+            delta = update_metrics(zero, pred, y, cfg.tau)
+            delta = MetricState(*(lax.psum(v, axes) for v in delta))
+            return state, merge_metric_states(mstate, delta), loss
+
+        bspec = P("data", None, None, None, None)
+        return shard_map(local_update, mesh=mesh,
+                         in_specs=(P(), P(), bspec, bspec),
+                         out_specs=(P(), P(), P()), check_vma=False)
+
     def _mesh_train_step(self, tx):
         """Sharded replacement for the per-batch train step (see __init__'s
         ``mesh``). The unsupported combinations fail loudly here rather
@@ -644,7 +705,17 @@ class Trainer:
         and the same key, training here matches :meth:`fit_cached`
         (augment=False) to float-rounding level (~1e-7: the uint8 grid
         storage is exact, XLA just fuses the loss reductions differently
-        in the two programs) — tested."""
+        in the two programs) — tested.
+
+        With a ``Trainer(mesh=...)`` (pure DP, space size 1) the epochs
+        scale over the data axis: the uint8 cache is REPLICATED across the
+        mesh (it fits one chip by construction — that's how the cache got
+        built), the cheap per-step work (global permutation gather, batch
+        slicing, D4 bits) runs replicated so the batch composition is
+        IDENTICAL to the single-device run, and the dominant
+        conv/loss/grads/update work runs ``shard_map``'d over the batch
+        with pmean'd grads — one scan dispatch per epoch chunk, N× the
+        compute throughput."""
         assert not self._stateful, "fit_grid_cached supports stateless models"
         from scenenet_tpu.data.device_cache import (
             d4_transform_grids, permute_rows,
@@ -665,6 +736,19 @@ class Trainer:
                 f"fit_grid_cached: cache holds {n} samples < batch {batch_size}")
         key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
         import functools
+
+        sharded_update = None
+        if self.mesh is not None:
+            sharded_update = self._make_cached_sharded_update(tx, batch_size)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicate the cache over the mesh so the jitted chunk (whose
+            # internal shard_map spans all mesh devices) sees consistent
+            # input placement; per-chip HBM cost is what the single-device
+            # cache already paid
+            rep = NamedSharding(self.mesh, P())
+            grids.x = jax.device_put(grids.x, rep)
+            grids.y = jax.device_put(grids.y, rep)
 
         @functools.partial(jax.jit, static_argnames=("n_chunk",),
                            compiler_options=cfg.compiler_options)
@@ -691,6 +775,9 @@ class Trainer:
                     y = d4_transform_grids(y, *bits)
                 x = x.astype(jnp.float32)
                 y = y.astype(jnp.float32)
+                if sharded_update is not None:
+                    state, mstate, loss = sharded_update(state, mstate, x, y)
+                    return (state, mstate, loss_sum + loss, key), None
                 (loss, (pred, _)), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(state.params, x, y, None)
                 if needs_vf:

@@ -440,3 +440,77 @@ class TestMeshFitFeatures:
         resumed = Trainer(net, _criterion(), cfg, mesh=mesh)
         res_params, _ = resumed.fit(params, batches, resume_from=snap)
         _assert_tree_close(res_params, full_params, rtol=0, atol=0)
+
+
+class _GridBox:
+    def __init__(self, n, g, seed):
+        rng = np.random.default_rng(seed)
+        self.x = jnp.asarray((rng.random((n, 1, g, g, g)) > 0.9), jnp.uint8)
+        self.y = jnp.asarray((rng.random((n, 1, g, g, g)) > 0.97), jnp.uint8)
+
+    def __len__(self):
+        return int(self.x.shape[0])
+
+
+class TestMeshCachedEpochs:
+    """fit_grid_cached under a pure-DP mesh: replicated cache + shard_map'd
+    compute with batch composition IDENTICAL to the single-device scan —
+    final params must match to psum reduction order."""
+
+    @pytest.mark.parametrize("augment", [False, True])
+    def test_matches_single_device(self, devices8, tmp_path, augment):
+        outs = []
+        for tag, mesh in (("sref", None),
+                          ("smesh", make_mesh((8, 1), devices=devices8))):
+            grids = _GridBox(48, 12, 0)
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+            cfg = _cfg(tmp_path, tag + str(augment), max_epochs=2,
+                       epoch_chunks=2)
+            t = Trainer(net, _criterion(), cfg, mesh=mesh)
+            final, best = t.fit_grid_cached(
+                params, grids, batch_size=8, augment=augment,
+                key=jax.random.PRNGKey(11))
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref, ref_best), (mesh_p, mesh_best) = outs
+        _assert_tree_close(mesh_p, ref)
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+
+    def test_guards(self, devices8, tmp_path):
+        grids = _GridBox(16, 12, 0)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        smesh = make_mesh((2, 4), devices=devices8)
+        t = Trainer(net, _criterion(), _cfg(tmp_path, "gsp"), mesh=smesh)
+        with pytest.raises(ValueError, match="pure-DP"):
+            t.fit_grid_cached(params, grids, batch_size=8)
+        dmesh = make_mesh((8, 1), devices=devices8)
+        t = Trainer(net, _criterion(), _cfg(tmp_path, "gdiv"), mesh=dmesh)
+        with pytest.raises(ValueError, match="divide"):
+            t.fit_grid_cached(params, grids, batch_size=6)
+
+    def test_cli_mesh_grid_cache_end_to_end(self, devices8, tmp_path):
+        """device_cache: grids + mesh_data runs DP cached epochs from
+        the CLI."""
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "ds"
+        rng = np.random.default_rng(13)
+        for split, n in [("fit", 20), ("test", 2)]:
+            (root / split).mkdir(parents=True)
+            for i in range(n):
+                xyz = rng.uniform([0, 0, 0], [30, 30, 60], (1500, 3))
+                labels = rng.choice([1, 2, 15], size=1500,
+                                    p=[0.5, 0.35, 0.15])
+                np.save(root / split / f"s{i}.npy",
+                        np.concatenate([xyz, labels[:, None]], axis=1))
+        cfg = ExperimentConfig(
+            data_path=str(root), output_dir=str(tmp_path), batch_size=8,
+            voxel_grid_size=(16, 16, 16), max_epochs=2, num_workers=2,
+            early_stop_metric=None, val_split=0.2, mesh_data=8,
+            device_cache="grids",
+        )
+        scores = run(cfg)
+        assert np.isfinite(scores["train_loss"])
+        assert "test_F1Score" in scores
