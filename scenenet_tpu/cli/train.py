@@ -323,24 +323,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
                          f"{cfg.batch_size}")
 
     device_cache = cfg.device_cache
-    if mesh is not None and device_cache:
-        # the grid cache scales over a pure-DP mesh (replicated cache +
-        # shard_map'd compute, Trainer.fit_grid_cached); the point cache's
-        # per-batch revoxelization scan stays single-device
-        if msp > 1:
-            if device_cache != "auto":
-                print("[mesh] device_cache disabled (cached epochs are "
-                      "pure-DP; spatial sharding streams batches)")
-            device_cache = False
-        else:
-            if device_cache == "auto":
-                device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
-            if device_cache in (True, "points"):
-                print("[mesh] point-cache epochs are single-device "
-                      "(arbitrary-angle augmentation); streaming the "
-                      "sharded fit instead — use device_cache: grids for "
-                      "DP cached epochs (grid-space D4 augmentation)")
-                device_cache = False
+    if mesh is not None and device_cache and msp > 1:
+        # both cached-epoch fits scale over a pure-DP mesh (replicated
+        # cache + shard_map'd compute); spatial sharding streams batches
+        if device_cache != "auto":
+            print("[mesh] device_cache disabled (cached epochs are "
+                  "pure-DP; spatial sharding streams batches)")
+        device_cache = False
     if device_cache == "auto":
         device_cache = _resolve_device_cache_auto(cfg, len(train_ds))
 

@@ -281,12 +281,15 @@ class Trainer:
             batch_prep=self.batch_prep,
             compiler_options=cfg.compiler_options)
 
-    def _make_cached_sharded_update(self, tx, batch_size):
+    def _make_cached_sharded_update(self, tx, batch_size, raw=False):
         """Pure-DP shard_map'd (grads + update + metrics) for the cached-
-        epoch scans (see :meth:`fit_grid_cached`): the cheap batch
-        assembly stays replicated outside, only the dominant compute is
-        sharded. Mirrors parallel.dp.make_sharded_train_step's local step
-        with the cached paths' direct-scan metric carry."""
+        epoch scans (see :meth:`fit_grid_cached` / :meth:`fit_cached`):
+        the cheap batch assembly stays replicated outside, only the
+        dominant compute is sharded. Mirrors
+        parallel.dp.make_sharded_train_step's local step with the cached
+        paths' direct-scan metric carry. ``raw=True`` takes
+        (pts, labels, mask) point batches and runs ``self.batch_prep``
+        (per-sample voxelization) shard-locally before the forward."""
         from jax import lax, shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -314,7 +317,12 @@ class Trainer:
         dist_crit = make_distributed(self.criterion, axes)
         last = getattr(self.model, "last_lambda", None)
 
-        def local_update(state, mstate, x, y):
+        def local_update(state, mstate, *batch):
+            if raw:
+                x, y = self.batch_prep(*batch)
+            else:
+                x, y = batch
+
             def loss_fn(p):
                 pred = self.model.apply(p, x)
                 cvx = (self.model.cvx_coefficients(p)
@@ -337,9 +345,13 @@ class Trainer:
             delta = MetricState(*(lax.psum(v, axes) for v in delta))
             return state, merge_metric_states(mstate, delta), loss
 
-        bspec = P("data", None, None, None, None)
-        return shard_map(local_update, mesh=mesh,
-                         in_specs=(P(), P(), bspec, bspec),
+        if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
+            in_specs = (P(), P(), P("data", None, None),
+                        P("data", None), P("data", None))
+        else:  # (x, y) voxel grids (B, 1, Z, X, Y)
+            bspec = P("data", None, None, None, None)
+            in_specs = (P(), P(), bspec, bspec)
+        return shard_map(local_update, mesh=mesh, in_specs=in_specs,
                          out_specs=(P(), P(), P()), check_vma=False)
 
     def _mesh_train_step(self, tx):
@@ -615,6 +627,21 @@ class Trainer:
                 f"fit_cached: cache holds {n} samples < batch_size {batch_size}")
         key = key if key is not None else jax.random.PRNGKey(cfg.max_epochs)
 
+        sharded_update = None
+        if self.mesh is not None:
+            # pure-DP mesh scaling (see fit_grid_cached): replicated point
+            # cache, replicated batch assembly + augmentation (identical
+            # composition to single-device), shard-local voxelization +
+            # conv/loss/grads via batch_prep inside shard_map
+            sharded_update = self._make_cached_sharded_update(
+                tx, batch_size, raw=True)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            cache.points = jax.device_put(cache.points, rep)
+            cache.labels = jax.device_put(cache.labels, rep)
+            cache.mask = jax.device_put(cache.mask, rep)
+
         @functools.partial(jax.jit, static_argnames=("n_chunk",),
                            compiler_options=cfg.compiler_options)
         def chunk_fn(state: TrainState, mstate, loss_sum, aug_key,
@@ -651,6 +678,10 @@ class Trainer:
                     pts = jnp.concatenate(
                         [(pts[..., :2] - center) * sign + center,
                          pts[..., 2:]], axis=-1)
+                if sharded_update is not None:
+                    state, mstate, loss = sharded_update(state, mstate,
+                                                         pts, lab, m)
+                    return (state, mstate, loss_sum + loss, key), None
                 x, y = self.batch_prep(pts, lab, m)
                 (loss, (pred, _)), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(state.params, x, y, None)

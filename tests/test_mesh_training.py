@@ -514,3 +514,43 @@ class TestMeshCachedEpochs:
         scores = run(cfg)
         assert np.isfinite(scores["train_loss"])
         assert "test_F1Score" in scores
+
+
+class _PointBox:
+    def __init__(self, n, npts, seed):
+        rng = np.random.default_rng(seed)
+        self.points = jnp.asarray(
+            rng.uniform([0, 0, 0], [30, 30, 60], (n, npts, 3)), jnp.float32)
+        self.labels = jnp.asarray(
+            rng.choice([1, 2, 15], size=(n, npts)), jnp.int32)
+        self.mask = jnp.ones((n, npts), bool)
+
+    def __len__(self):
+        return int(self.points.shape[0])
+
+
+class TestMeshPointCachedEpochs:
+    """fit_cached under a pure-DP mesh: replicated point cache, replicated
+    augmentation (identical batch composition), shard-local voxelization
+    + compute — must match the single-device scan."""
+
+    @pytest.mark.parametrize("augment", [False, True])
+    def test_matches_single_device(self, devices8, tmp_path, augment):
+        prep = make_device_voxelize_prep((16, 16, 16), (15,),
+                                         use_indices=False)
+        outs = []
+        for tag, mesh in (("pc_ref", None),
+                          ("pc_mesh", make_mesh((8, 1), devices=devices8))):
+            cache = _PointBox(32, 1200, 5)
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+            cfg = _cfg(tmp_path, tag + str(augment), max_epochs=2)
+            t = Trainer(net, _criterion(), cfg, batch_prep=prep, mesh=mesh)
+            final, best = t.fit_cached(
+                params, cache, batch_size=8, augment=augment,
+                key=jax.random.PRNGKey(7))
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref, ref_best), (mesh_p, mesh_best) = outs
+        _assert_tree_close(mesh_p, ref)
+        assert mesh_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
