@@ -77,11 +77,18 @@ class FocalTverskyLoss:
 
 @dataclasses.dataclass(frozen=True)
 class BinaryDiceLoss:
-    """Per-sample Dice with p-power denominator, then mean/sum reduction."""
+    """Per-sample Dice with p-power denominator, then mean/sum reduction.
+
+    ``axis_names`` (set by make_distributed under mesh training) makes
+    both reductions shard-exact: the per-sample dice never crosses the
+    batch shard boundary, so ``mean`` needs a pmean (equal shards) and
+    ``sum`` a psum — without the psum, the train step's loss pmean would
+    scale a per-shard sum down by the shard count."""
 
     smooth: float = 1.0
     p: float = 2.0
     reduction: str = "mean"
+    axis_names: Tuple[str, ...] = ()
 
     def __call__(self, pred, target, *_args, **_kw):
         b = pred.shape[0]
@@ -91,18 +98,24 @@ class BinaryDiceLoss:
         den = jnp.sum(pred**self.p + target**self.p, axis=1) + self.smooth
         loss = 1.0 - num / den
         if self.reduction == "mean":
-            return jnp.mean(loss)
+            loss = jnp.mean(loss)
+            return lax.pmean(loss, self.axis_names) if self.axis_names else loss
         if self.reduction == "sum":
-            return jnp.sum(loss)
+            loss = jnp.sum(loss)
+            return lax.psum(loss, self.axis_names) if self.axis_names else loss
         return loss
 
 
 @dataclasses.dataclass(frozen=True)
 class BinaryDiceBCE:
-    """Histogram-weighted BCE + Dice (reference ``BinaryDiceLoss_BCE``)."""
+    """Histogram-weighted BCE + Dice (reference ``BinaryDiceLoss_BCE``).
+    Sharding-exact under ``axis_names`` for both reductions (the nested
+    ``w_mse`` globally normalizes the BCE weights; see BinaryDiceLoss for
+    the dice term)."""
 
     w_mse: WeightedMSE
     reduction: str = "mean"
+    axis_names: Tuple[str, ...] = ()
 
     @classmethod
     def create(cls, targets=None, weighting_scheme_path=None, weight_alpha=1.0,
@@ -119,11 +132,18 @@ class BinaryDiceBCE:
     def __call__(self, pred, target, *_args, **_kw):
         weights = self.w_mse.weight_target(target)
         bce = binary_cross_entropy(pred, target)
-        dice = BinaryDiceLoss(reduction=self.reduction)(pred, target)
+        dice = BinaryDiceLoss(reduction=self.reduction,
+                              axis_names=self.axis_names)(pred, target)
         if self.reduction == "mean":
-            return jnp.mean(weights * bce) + dice
+            wbce = jnp.mean(weights * bce)
+            if self.axis_names:
+                wbce = lax.pmean(wbce, self.axis_names)
+            return wbce + dice
         if self.reduction == "sum":
-            return jnp.sum(weights * bce) + dice
+            wbce = jnp.sum(weights * bce)
+            if self.axis_names:
+                wbce = lax.psum(wbce, self.axis_names)
+            return wbce + dice
         return weights * bce + dice
 
 

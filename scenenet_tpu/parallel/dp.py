@@ -208,6 +208,80 @@ def make_sharded_eval_step(
     return eval_step
 
 
+def make_local_train_step(
+    model,
+    criterion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    space_axis: str = "space",
+    overlap: bool = False,
+    with_grads: bool = False,
+    batch_prep: Callable | None = None,
+) -> Callable:
+    """The shard-local train-step body (run inside ``shard_map``) shared
+    by :func:`make_sharded_train_step` and the Trainer's cached-epoch
+    scans: optional per-sample ``batch_prep``, forward (plain apply on a
+    pure-DP mesh, halo conv when Z is space-sharded), pmean'd grads/loss,
+    optimizer update, and the overflow-safe psum'd confusion-delta merge.
+    One implementation so the DDP math cannot drift between the
+    streaming and cached fits.
+
+    Returns ``local_step(state, mstate, *batch) ->
+    (state, mstate, loss[, grads])``; ``*batch`` is ``(x, y)`` grids, or
+    raw prep inputs when ``batch_prep`` is given.
+    """
+    axes = (batch_axis, space_axis)
+    dist_criterion = make_distributed(criterion, axes)
+    last = getattr(model, "last_lambda", None)
+    space_size = mesh.shape[space_axis]
+
+    def local_step(state: TrainState, mstate: MetricState, *batch):
+        if batch_prep is not None:
+            x, y = batch_prep(*batch)
+        else:
+            x, y = batch
+
+        def loss_fn(params):
+            # space size 1: no halo needed — plain apply, so ANY stateless
+            # model (quantile ensemble, CNN baseline) trains pure-DP; the
+            # SceneNet-specific halo forward only gates space > 1
+            if space_size == 1:
+                pred = model.apply(params, x)
+            else:
+                pred = spatial_scenenet_forward(model, params, x, space_axis,
+                                                overlap=overlap)
+            cvx = (model.cvx_coefficients(params)
+                   if hasattr(model, "cvx_coefficients") else {})
+            geneo = (model.geneo_params_flat(params)
+                     if hasattr(model, "geneo_params_flat") else {})
+            return dist_criterion(pred, y, cvx, geneo, last), pred
+
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # DDP gradient reduction (explicit psum/pmean over the mesh);
+        # the pmean of the loss is an identity for distributed criteria
+        # (already globally reduced) and a sane fallback otherwise
+        grads = lax.pmean(grads, axes)
+        loss = lax.pmean(loss, axes)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        # accumulate only this batch's (globally psum'd) confusion delta —
+        # the carried mstate is already replicated/global; merge with carry
+        # (a raw leaf add would overflow the lo limbs over many batches)
+        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+        delta = update_metrics(zero, pred, y, tau)
+        delta = MetricState(*(lax.psum(v, axes) for v in delta))
+        mstate = merge_metric_states(mstate, delta)
+        if with_grads:
+            return new_state, mstate, loss, grads
+        return new_state, mstate, loss
+
+    return local_step
+
+
 def make_sharded_train_step(
     model,
     criterion,
@@ -240,48 +314,13 @@ def make_sharded_train_step(
     ``with_grads=True`` appends the pmean'd gradients to the return
     (``(state, mstate, loss, grads)``) for watch-all gradient logging.
     """
-    axes = (batch_axis, space_axis)
-    dist_criterion = make_distributed(criterion, axes)
-    last = getattr(model, "last_lambda", None)
     space_size = mesh.shape[space_axis]
     jit = (functools.partial(jax.jit, compiler_options=compiler_options)
            if compiler_options else jax.jit)
-
-    def local_step(state: TrainState, mstate: MetricState, x, y):
-        def loss_fn(params):
-            # space size 1: no halo needed — plain apply, so ANY stateless
-            # model (quantile ensemble, CNN baseline) trains pure-DP; the
-            # SceneNet-specific halo forward only gates space > 1
-            if space_size == 1:
-                pred = model.apply(params, x)
-            else:
-                pred = spatial_scenenet_forward(model, params, x, space_axis,
-                                                overlap=overlap)
-            cvx = (model.cvx_coefficients(params)
-                   if hasattr(model, "cvx_coefficients") else {})
-            geneo = (model.geneo_params_flat(params)
-                     if hasattr(model, "geneo_params_flat") else {})
-            return dist_criterion(pred, y, cvx, geneo, last), pred
-
-        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        # DDP gradient reduction (explicit psum/pmean over the mesh);
-        # the pmean of the loss is an identity for distributed criteria
-        # (already globally reduced) and a sane fallback otherwise
-        grads = lax.pmean(grads, axes)
-        loss = lax.pmean(loss, axes)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
-        # accumulate only this batch's (globally psum'd) confusion delta —
-        # the carried mstate is already replicated/global; merge with carry
-        # (a raw leaf add would overflow the lo limbs over many batches)
-        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-        delta = update_metrics(zero, pred, y, tau)
-        delta = MetricState(*(lax.psum(v, axes) for v in delta))
-        mstate = merge_metric_states(mstate, delta)
-        if with_grads:
-            return new_state, mstate, loss, grads
-        return new_state, mstate, loss
+    local_step = make_local_train_step(
+        model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
+        space_axis=space_axis, overlap=overlap, with_grads=with_grads,
+        batch_prep=batch_prep if space_size == 1 else None)
 
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     data_size = mesh.shape[batch_axis]
@@ -309,13 +348,8 @@ def make_sharded_train_step(
             if key not in sharded_cache:
                 raw_specs = tuple(
                     P(batch_axis, *([None] * (b.ndim - 1))) for b in batch)
-
-                def local(state, mstate, *raw):
-                    x, y = batch_prep(*raw)
-                    return local_step(state, mstate, x, y)
-
                 sharded_cache[key] = jit(shard_map(
-                    local, mesh=mesh, in_specs=(P(), P()) + raw_specs,
+                    local_step, mesh=mesh, in_specs=(P(), P()) + raw_specs,
                     out_specs=out_specs, check_vma=False))
             placed = tuple(
                 jax.device_put(b, NamedSharding(

@@ -60,6 +60,7 @@ def make_hybrid_mesh(
     dcn_shape: Tuple[int, ...],
     ici_shape: Tuple[int, ...],
     axis_names: Sequence[str] = ("data", "space"),
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Mesh for multi-slice TPU deployments: the leading (DCN) factors of
     each axis cross slice boundaries, the trailing (ICI) factors stay
@@ -93,7 +94,7 @@ def make_hybrid_mesh(
     if len(dcn_shape) != len(axis_names):
         raise ValueError(f"{len(axis_names)} axis names for "
                          f"{len(dcn_shape)}-axis shapes")
-    devices = jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     n_groups = int(np.prod(dcn_shape))
     total = int(np.prod(dcn_shape)) * int(np.prod(ici_shape))
     if total != len(devices):

@@ -281,86 +281,11 @@ class Trainer:
             batch_prep=self.batch_prep,
             compiler_options=cfg.compiler_options)
 
-    def _make_cached_sharded_update(self, tx, batch_size, raw=False):
-        """Pure-DP shard_map'd (grads + update + metrics) for the cached-
-        epoch scans (see :meth:`fit_grid_cached` / :meth:`fit_cached`):
-        the cheap batch assembly stays replicated outside, only the
-        dominant compute is sharded. Mirrors
-        parallel.dp.make_sharded_train_step's local step with the cached
-        paths' direct-scan metric carry. ``raw=True`` takes
-        (pts, labels, mask) point batches and runs ``self.batch_prep``
-        (per-sample voxelization) shard-locally before the forward."""
-        from jax import lax, shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from scenenet_tpu.parallel.dp import make_distributed
-        from scenenet_tpu.train.metrics import merge_metric_states
+    def _check_mesh_supported(self, pure_dp=False, batch_size=None):
+        """Shared loud-failure guards for every mesh fit path."""
         from scenenet_tpu.train.state import optimizer_needs_value_fn
 
         cfg = self.config
-        mesh = self.mesh
-        if mesh.shape.get("space", 1) > 1:
-            raise ValueError(
-                "cached-epoch mesh training is pure-DP (mesh space must be "
-                "1); spatially-sharded training streams batches via fit()")
-        if optimizer_needs_value_fn(cfg.optimizer):
-            raise ValueError(
-                f"optimizer '{cfg.optimizer}' (linesearch) is not supported "
-                "with mesh training")
-        if cfg.precision == "bf16":
-            raise ValueError("precision='bf16' is not supported with mesh "
-                             "training (f32 masters only)")
-        if batch_size % mesh.shape["data"]:
-            raise ValueError(f"batch_size {batch_size} must divide by the "
-                             f"mesh data axis ({mesh.shape['data']})")
-        axes = tuple(mesh.axis_names)
-        dist_crit = make_distributed(self.criterion, axes)
-        last = getattr(self.model, "last_lambda", None)
-
-        def local_update(state, mstate, *batch):
-            if raw:
-                x, y = self.batch_prep(*batch)
-            else:
-                x, y = batch
-
-            def loss_fn(p):
-                pred = self.model.apply(p, x)
-                cvx = (self.model.cvx_coefficients(p)
-                       if hasattr(self.model, "cvx_coefficients") else {})
-                geneo = (self.model.geneo_params_flat(p)
-                         if hasattr(self.model, "geneo_params_flat") else {})
-                return dist_crit(pred, y, cvx, geneo, last), pred
-
-            (loss, pred), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            grads = lax.pmean(grads, axes)
-            loss = lax.pmean(loss, axes)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            state = state.replace(step=state.step + 1, params=new_params,
-                                  opt_state=opt_state)
-            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-            delta = update_metrics(zero, pred, y, cfg.tau)
-            delta = MetricState(*(lax.psum(v, axes) for v in delta))
-            return state, merge_metric_states(mstate, delta), loss
-
-        if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
-            in_specs = (P(), P(), P("data", None, None),
-                        P("data", None), P("data", None))
-        else:  # (x, y) voxel grids (B, 1, Z, X, Y)
-            bspec = P("data", None, None, None, None)
-            in_specs = (P(), P(), bspec, bspec)
-        return shard_map(local_update, mesh=mesh, in_specs=in_specs,
-                         out_specs=(P(), P(), P()), check_vma=False)
-
-    def _mesh_train_step(self, tx):
-        """Sharded replacement for the per-batch train step (see __init__'s
-        ``mesh``). The unsupported combinations fail loudly here rather
-        than training something subtly different."""
-        cfg = self.config
-        from scenenet_tpu.train.state import optimizer_needs_value_fn
-
         if self._stateful:
             raise ValueError(
                 "mesh training supports stateless models only (cross-shard "
@@ -373,6 +298,47 @@ class Trainer:
         if cfg.precision == "bf16":
             raise ValueError("precision='bf16' is not supported with mesh "
                              "training (f32 masters only)")
+        if pure_dp and self.mesh.shape.get("space", 1) > 1:
+            raise ValueError(
+                "cached-epoch mesh training is pure-DP (mesh space must be "
+                "1); spatially-sharded training streams batches via fit()")
+        if batch_size is not None and batch_size % self.mesh.shape["data"]:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh data axis ({self.mesh.shape['data']})")
+
+    def _make_cached_sharded_update(self, tx, batch_size, raw=False):
+        """Pure-DP shard_map'd (grads + update + metrics) for the cached-
+        epoch scans (see :meth:`fit_grid_cached` / :meth:`fit_cached`):
+        the cheap batch assembly stays replicated outside, only the
+        dominant compute is sharded. The body IS
+        :func:`parallel.dp.make_local_train_step` — the same DDP math as
+        the streaming sharded fit, built once. ``raw=True`` takes
+        (pts, labels, mask) point batches and runs ``self.batch_prep``
+        (per-sample voxelization) shard-locally before the forward."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from scenenet_tpu.parallel.dp import make_local_train_step
+
+        self._check_mesh_supported(pure_dp=True, batch_size=batch_size)
+        local_update = make_local_train_step(
+            self.model, self.criterion, tx, self.mesh, tau=self.config.tau,
+            batch_prep=self.batch_prep if raw else None)
+        if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
+            in_specs = (P(), P(), P("data", None, None),
+                        P("data", None), P("data", None))
+        else:  # (x, y) voxel grids (B, 1, Z, X, Y)
+            bspec = P("data", None, None, None, None)
+            in_specs = (P(), P(), bspec, bspec)
+        return shard_map(local_update, mesh=self.mesh, in_specs=in_specs,
+                         out_specs=(P(), P(), P()), check_vma=False)
+
+    def _mesh_train_step(self, tx):
+        """Sharded replacement for the per-batch train step (see __init__'s
+        ``mesh``). The unsupported combinations fail loudly here rather
+        than training something subtly different."""
+        cfg = self.config
+        self._check_mesh_supported()
         space = self.mesh.shape.get("space", 1)
         if space > 1 and not hasattr(self.model, "synthesize_kernels"):
             raise ValueError(
@@ -617,6 +583,13 @@ class Trainer:
             hasattr(self.model, "trainable_mask") else None
         state, tx = create_train_state(params, cfg.optimizer,
                                        cfg.learning_rate, mask_tree)
+        if cfg.accumulate_grad_batches > 1:
+            # honor gradient accumulation exactly like the streaming fit
+            # (the scan bodies call tx.update per batch; MultiSteps makes
+            # every k-th call apply the accumulated mean update)
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+            state = TrainState(step=state.step, params=params,
+                               opt_state=tx.init(params), model_state=None)
         from scenenet_tpu.train.state import optimizer_needs_value_fn
 
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)
@@ -757,6 +730,13 @@ class Trainer:
             hasattr(self.model, "trainable_mask") else None
         state, tx = create_train_state(params, cfg.optimizer,
                                        cfg.learning_rate, mask_tree)
+        if cfg.accumulate_grad_batches > 1:
+            # honor gradient accumulation exactly like the streaming fit
+            # (the scan bodies call tx.update per batch; MultiSteps makes
+            # every k-th call apply the accumulated mean update)
+            tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+            state = TrainState(step=state.step, params=params,
+                               opt_state=tx.init(params), model_state=None)
         from scenenet_tpu.train.state import optimizer_needs_value_fn
 
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)

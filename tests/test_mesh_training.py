@@ -341,6 +341,15 @@ class TestRegistryShardingExactness:
 
     @pytest.mark.parametrize("name", NAMES)
     def test_sharded_equals_unsharded(self, devices8, name):
+        self._check(devices8, name)
+
+    @pytest.mark.parametrize("name", ["dice", "dice_bce"])
+    def test_sum_reduction_sharded(self, devices8, name):
+        """reduction='sum' needs a psum (a pmean'd per-shard sum would be
+        global_sum / n_shards)."""
+        self._check(devices8, name, reduction="sum")
+
+    def _check(self, devices8, name, **crit_kw):
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -349,7 +358,7 @@ class TestRegistryShardingExactness:
         crit = resolve_criterion(name)(
             weight_alpha=1, weight_epsilon=0.1, mse_weight=1,
             convex_weight=5, tversky_alpha=2, tversky_beta=1,
-            tversky_smooth=1e-6, focal_gamma=4)
+            tversky_smooth=1e-6, focal_gamma=4, **crit_kw)
         rng = np.random.default_rng(41)
         quantile = name.startswith("quantile")
         # skewed positives per sample so per-shard statistics differ
@@ -554,3 +563,45 @@ class TestMeshPointCachedEpochs:
         _assert_tree_close(mesh_p, ref)
         assert mesh_best["train_loss"] == pytest.approx(
             ref_best["train_loss"], rel=3e-4)
+
+
+class TestCachedAccumulation:
+    """The cached-epoch fits honor accumulate_grad_batches (they silently
+    ignored it before): with K identical batches and accumulate=K, the
+    mini-step gradients are all computed at the initial params, so the
+    epoch equals exactly ONE optimizer step on that batch."""
+
+    def _uniform_grids(self, n, g=12, seed=4):
+        rng = np.random.default_rng(seed)
+        x1 = (rng.random((1, 1, g, g, g)) > 0.9).astype(np.uint8)
+        y1 = (rng.random((1, 1, g, g, g)) > 0.97).astype(np.uint8)
+
+        class Box:
+            x = jnp.asarray(np.repeat(x1, n, 0))
+            y = jnp.asarray(np.repeat(y1, n, 0))
+
+            def __len__(self):
+                return n
+
+        return Box()
+
+    @pytest.mark.parametrize("use_mesh", [False, True])
+    def test_acc2_equals_one_step(self, devices8, tmp_path, use_mesh):
+        mesh = make_mesh((8, 1), devices=devices8) if use_mesh else None
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+
+        t2 = Trainer(net, _criterion(),
+                     _cfg(tmp_path, f"acc2{use_mesh}", max_epochs=1,
+                          accumulate_grad_batches=2), mesh=mesh)
+        acc_params, _ = t2.fit_grid_cached(
+            params, self._uniform_grids(16), batch_size=8, augment=False,
+            key=jax.random.PRNGKey(0))
+
+        t1 = Trainer(net, _criterion(),
+                     _cfg(tmp_path, f"acc1{use_mesh}", max_epochs=1),
+                     mesh=mesh)
+        one_params, _ = t1.fit_grid_cached(
+            params, self._uniform_grids(8), batch_size=8, augment=False,
+            key=jax.random.PRNGKey(0))
+
+        _assert_tree_close(acc_params, one_params)
