@@ -306,6 +306,41 @@ class Trainer:
             raise ValueError(f"batch_size {batch_size} must divide by the "
                              f"mesh data axis ({self.mesh.shape['data']})")
 
+    def _make_cached_sharded_eval(self, batch_size):
+        """Eval twin of :meth:`_make_cached_sharded_update`: pure-DP
+        shard_map'd forward + distributed loss + psum'd confusion delta
+        for the one-scan cached evaluation (no pred output — the scan
+        must not stack predictions)."""
+        from jax import lax, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from scenenet_tpu.parallel.dp import make_distributed
+
+        self._check_mesh_supported(pure_dp=True, batch_size=batch_size)
+        cfg = self.config
+        axes = tuple(self.mesh.axis_names)
+        dist_crit = make_distributed(self.criterion, axes)
+        last = getattr(self.model, "last_lambda", None)
+
+        def local_eval(params, mstate, x, y):
+            pred = self.model.apply(params, x)
+            cvx = (self.model.cvx_coefficients(params)
+                   if hasattr(self.model, "cvx_coefficients") else {})
+            geneo = (self.model.geneo_params_flat(params)
+                     if hasattr(self.model, "geneo_params_flat") else {})
+            loss = lax.pmean(dist_crit(pred, y, cvx, geneo, last), axes)
+            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+            delta = update_metrics(zero, pred, y, cfg.tau)
+            delta = MetricState(*(lax.psum(v, axes) for v in delta))
+            from scenenet_tpu.train.metrics import merge_metric_states
+
+            return merge_metric_states(mstate, delta), loss
+
+        bspec = P("data", None, None, None, None)
+        return shard_map(local_eval, mesh=self.mesh,
+                         in_specs=(P(), P(), bspec, bspec),
+                         out_specs=(P(), P()), check_vma=False)
+
     def _make_cached_sharded_update(self, tx, batch_size, raw=False):
         """Pure-DP shard_map'd (grads + update + metrics) for the cached-
         epoch scans (see :meth:`fit_grid_cached` / :meth:`fit_cached`):
@@ -826,11 +861,25 @@ class Trainer:
         pass — slices, forward, loss, confusion counts — is a single
         ``lax.scan`` under jit (the cached twin of :meth:`evaluate`).
         Samples beyond the last full batch are evaluated in one tail step.
+
+        Under a ``Trainer(mesh=...)`` (pure DP) the per-batch forward +
+        loss + confusion counts run ``shard_map``'d over the batch like
+        the cached fits; the ragged tail stays on the replicated path
+        (it is at most one batch).
         """
         assert not self._stateful, "evaluate_cached supports stateless models"
         cfg = self.config
         n = len(grids)
         n_batches = n // batch_size
+
+        sharded_eval = None
+        if self.mesh is not None:
+            sharded_eval = self._make_cached_sharded_eval(batch_size)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            grids.x = jax.device_put(grids.x, rep)
+            grids.y = jax.device_put(grids.y, rep)
 
         @jax.jit
         def eval_all(params, xs, ys):
@@ -840,6 +889,9 @@ class Trainer:
                     xs, b * batch_size, batch_size).astype(jnp.float32)
                 y = jax.lax.dynamic_slice_in_dim(
                     ys, b * batch_size, batch_size).astype(jnp.float32)
+                if sharded_eval is not None:
+                    mstate, loss = sharded_eval(params, mstate, x, y)
+                    return (mstate, loss_sum + loss), None
                 loss, (pred, _) = self._loss(params, x, y, None, train=False)
                 return (update_metrics(mstate, pred, y, cfg.tau),
                         loss_sum + loss), None

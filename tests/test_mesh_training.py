@@ -605,3 +605,19 @@ class TestCachedAccumulation:
             key=jax.random.PRNGKey(0))
 
         _assert_tree_close(acc_params, one_params)
+
+
+class TestMeshEvaluateCached:
+    def test_matches_single_device_with_tail(self, devices8, tmp_path):
+        """One-scan cached evaluation under the mesh (incl. the ragged
+        replicated tail) equals the single-device scores."""
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        ref = Trainer(net, _criterion(), _cfg(tmp_path, "ecr"))
+        ref_scores = ref.evaluate_cached(params, _GridBox(21, 12, 2),
+                                         batch_size=8)
+        mesh = make_mesh((8, 1), devices=devices8)
+        mt = Trainer(net, _criterion(), _cfg(tmp_path, "ecm"), mesh=mesh)
+        mesh_scores = mt.evaluate_cached(params, _GridBox(21, 12, 2),
+                                         batch_size=8)
+        for k, v in ref_scores.items():
+            assert mesh_scores[k] == pytest.approx(v, rel=3e-4, abs=1e-6), k
