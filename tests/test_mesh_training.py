@@ -621,3 +621,40 @@ class TestMeshEvaluateCached:
                                          batch_size=8)
         for k, v in ref_scores.items():
             assert mesh_scores[k] == pytest.approx(v, rel=3e-4, abs=1e-6), k
+
+
+class TestMeshCachedPreempt:
+    def test_chunk_resume_matches_unkilled_under_mesh(self, devices8,
+                                                      tmp_path):
+        """Chunk-boundary preemption + resume of the DP cached-epoch fit:
+        the snapshot stores replicated mesh arrays and the resumed run
+        must land on the same params as an uninterrupted mesh run."""
+        from scenenet_tpu.train.preempt import request_preemption
+
+        mesh = make_mesh((8, 1), devices=devices8)
+
+        def trainer(tag):
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+            return Trainer(net, _criterion(),
+                           _cfg(tmp_path, tag, max_epochs=2, epoch_chunks=2),
+                           mesh=mesh), params
+
+        straight, params = trainer("mc_s")
+        want, _ = straight.fit_grid_cached(params, _GridBox(32, 12, 1),
+                                           batch_size=8, augment=True,
+                                           key=jax.random.PRNGKey(4))
+
+        t1, params1 = trainer("mc_k")
+        request_preemption()
+        t1.fit_grid_cached(params1, _GridBox(32, 12, 1), batch_size=8,
+                           augment=True, key=jax.random.PRNGKey(4))
+        assert t1.preempted
+        snap = os.path.join(t1.config.checkpoint_dir, "preempt.npz")
+        assert os.path.exists(snap)
+
+        t2, params2 = trainer("mc_r")
+        got, _ = t2.fit_grid_cached(params2, _GridBox(32, 12, 1),
+                                    batch_size=8, augment=True,
+                                    key=jax.random.PRNGKey(4),
+                                    resume_from=snap)
+        _assert_tree_close(got, want, rtol=0, atol=0)
