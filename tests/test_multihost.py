@@ -243,3 +243,75 @@ def test_two_process_spatial_halo_and_sharded_ckpt(tmp_path):
     worker.write_text("import os\n" + _SPATIAL_WORKER)
     _run_workers(worker, str(tmp_path / "sharded_ckpt"),
                  "MULTIHOST_SPATIAL_OK")
+
+
+_TRAINER_WORKER = r'''
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins a TPU plugin
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out_dir = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=proc_id)
+
+import numpy as np
+import jax.numpy as jnp
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import SceneNet
+from scenenet_tpu.parallel import make_mesh
+from scenenet_tpu.train import Trainer, TrainConfig
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+def criterion():
+    return resolve_criterion("geneo_tversky")(
+        weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+        tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4)
+
+def cfg(tag):
+    return TrainConfig(max_epochs=2, optimizer="sgd", learning_rate=1e-2,
+                       checkpoint_dir=f"{out_dir}/c{tag}{proc_id}",
+                       run_dir=f"{out_dir}/r{tag}{proc_id}",
+                       early_stop_metric=None, log_gradients=False)
+
+rng = np.random.default_rng(11)
+batches = []
+for _ in range(3):
+    x = (rng.random((8, 1, 16, 12, 12)) > 0.9).astype(np.float32)
+    y = (rng.random((8, 1, 16, 12, 12)) > 0.97).astype(np.float32)
+    batches.append((x, y))
+
+net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+
+# mesh fit across BOTH processes: every process feeds the same global
+# batch; the step's device_put populates only its addressable shards
+mesh = make_mesh((8, 1))
+mt = Trainer(net, criterion(), cfg("m"), mesh=mesh)
+mesh_params, mesh_best = mt.fit(params, batches)
+
+# process-local reference (identical on both): plain single-device fit
+ref = Trainer(net, criterion(), cfg("s"))
+ref_params, ref_best = ref.fit(params, batches)
+
+for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, mesh_params)),
+                jax.tree.leaves(jax.tree.map(np.asarray, ref_params))):
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+assert abs(mesh_best["train_loss"] - ref_best["train_loss"]) <= \
+    3e-4 * abs(ref_best["train_loss"])
+print(f"MULTIHOST_TRAINER_OK proc={jax.process_index()} "
+      f"loss={mesh_best['train_loss']:.6f}")
+'''
+
+
+@pytest.mark.slow
+def test_two_process_trainer_mesh_fit(tmp_path):
+    """Trainer(mesh=...) across 2 real processes: each feeds the same
+    global host batch, the sharded step's device_put assembles the
+    cross-process array, and the fit matches a single-device fit run
+    inside the same workers."""
+    worker = tmp_path / "trainer_worker.py"
+    worker.write_text("import os\n" + _TRAINER_WORKER)
+    _run_workers(worker, str(tmp_path / "out"), "MULTIHOST_TRAINER_OK")
