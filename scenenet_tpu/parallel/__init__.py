@@ -10,6 +10,11 @@ from scenenet_tpu.parallel.dp import (
     make_sharded_train_step,
     shard_batch,
 )
+from scenenet_tpu.parallel.ep import (
+    make_ensemble_eval_step,
+    make_ensemble_inference_fn,
+    make_ensemble_train_step,
+)
 
 __all__ = [
     "make_hybrid_mesh",
@@ -21,4 +26,7 @@ __all__ = [
     "make_dp_inference_fn",
     "make_sharded_train_step",
     "shard_batch",
+    "make_ensemble_eval_step",
+    "make_ensemble_inference_fn",
+    "make_ensemble_train_step",
 ]

@@ -1,0 +1,219 @@
+"""Ensemble parallelism (EP): the quantile ensemble's member axis as a
+mesh axis (parallel/ep.py). Exactness is pinned against the plain
+single-logical-device forward/step on identical data and params."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import QuantileSceneNet
+from scenenet_tpu.parallel import (
+    make_ensemble_eval_step,
+    make_ensemble_inference_fn,
+    make_ensemble_train_step,
+    make_mesh,
+)
+from scenenet_tpu.train.metrics import init_metric_state
+from scenenet_tpu.train.state import create_train_state
+
+QUANTILES = (0.1, 0.3, 0.5, 0.9)
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    assert len(jax.devices()) == 8
+    return jax.devices()
+
+
+def _model(quantiles=QUANTILES):
+    return QuantileSceneNet.create(
+        {"cy": 1, "cone": 1, "neg": 1}, kernel_size=(9, 5, 5),
+        quantiles=quantiles, seed=3)
+
+
+def _criterion(kind="quantile_geneo", quantiles=QUANTILES):
+    kw = dict(quantiles=quantiles, weight_alpha=1.0, weight_epsilon=0.1,
+              mse_weight=1.0)
+    if kind == "quantile_geneo":
+        kw["convex_weight"] = 5.0
+    return resolve_criterion(kind)(**kw)
+
+
+def _batch(b=8, z=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((b, 1, z, 12, 12)) > 0.9).astype(np.float32)
+    y = (rng.random((b, 1, z, 12, 12)) > 0.97).astype(np.float32)
+    return x, y
+
+
+def _single_device_step(model, criterion, tx, tau=0.65):
+    """The Trainer's per-batch step semantics (train/loop.py:_build_steps),
+    restated minimally for equality checks."""
+    from scenenet_tpu.train.metrics import update_metrics
+
+    @jax.jit
+    def step(state, mstate, x, y):
+        def loss_fn(params):
+            pred = model.apply(params, x)
+            cvx = model.cvx_coefficients(params)
+            geneo = model.geneo_params_flat(params)
+            return criterion(pred, y, cvx, geneo, model.last_lambda), pred
+
+        (loss, pred), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        mstate = update_metrics(mstate, pred, y, tau)
+        return new_state, mstate, loss, grads
+
+    return step
+
+
+def _assert_tree_close(a, b, rtol=2e-4, atol=1e-6):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=rtol, atol=atol)
+
+
+class TestEnsembleInference:
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 4)])
+    def test_matches_single_device(self, devices8, shape):
+        model, params = _model()
+        x, _ = _batch(b=8)
+        ref = jax.jit(model.apply)(params, x)
+        n = shape[0] * shape[1]
+        mesh = make_mesh(shape, axis_names=("data", "model"),
+                         devices=devices8[:n])
+        run = make_ensemble_inference_fn(model, mesh)
+        out = run(params, x)
+        assert out.shape == (8, len(QUANTILES)) + x.shape[2:]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_indivisible_members_raise(self, devices8):
+        model, _ = _model(quantiles=(0.1, 0.5, 0.9))
+        mesh = make_mesh((4, 2), axis_names=("data", "model"),
+                         devices=devices8)
+        with pytest.raises(ValueError, match="do not divide"):
+            make_ensemble_inference_fn(model, mesh)
+
+    def test_non_ensemble_model_raises(self, devices8):
+        from scenenet_tpu.models import SceneNet
+
+        net, _ = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        mesh = make_mesh((4, 2), axis_names=("data", "model"),
+                         devices=devices8)
+        with pytest.raises(ValueError, match="member-stacked"):
+            make_ensemble_inference_fn(net, mesh)
+
+
+class TestEnsembleTrainStep:
+    @pytest.mark.parametrize("kind", ["quantile", "quantile_geneo"])
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+    def test_matches_single_device(self, devices8, shape, kind):
+        model, params = _model()
+        criterion = _criterion(kind)
+        mask = model.trainable_mask(params)
+
+        ref_state, ref_tx = create_train_state(params, "sgd", 1e-2, mask)
+        ref_step = _single_device_step(model, criterion, ref_tx)
+
+        mesh = make_mesh(shape, axis_names=("data", "model"),
+                         devices=devices8)
+        ep_state, ep_tx = create_train_state(params, "sgd", 1e-2, mask)
+        ep_step = make_ensemble_train_step(model, criterion, ep_tx, mesh,
+                                           with_grads=True)
+
+        ref_m, ep_m = init_metric_state(), init_metric_state()
+        for i in range(3):
+            x, y = _batch(seed=i)
+            ref_state, ref_m, ref_loss, ref_g = ref_step(ref_state, ref_m, x, y)
+            ep_state, ep_m, ep_loss, ep_g = ep_step(ep_state, ep_m, x, y)
+            np.testing.assert_allclose(float(ep_loss), float(ref_loss),
+                                       rtol=2e-4)
+            _assert_tree_close(ep_g, ref_g)
+        _assert_tree_close(ep_state.params, ref_state.params)
+        for a, b in zip(ep_m, ref_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_criterion_mismatch_raises(self, devices8):
+        model, params = _model()
+        mesh = make_mesh((4, 2), axis_names=("data", "model"),
+                         devices=devices8)
+        _, tx = create_train_state(params, "sgd", 1e-2,
+                                   model.trainable_mask(params))
+        with pytest.raises(ValueError, match="quantile criterion"):
+            make_ensemble_train_step(
+                model, resolve_criterion("mse")(), tx, mesh)
+        with pytest.raises(ValueError, match="quantiles"):
+            make_ensemble_train_step(
+                model, _criterion(quantiles=(0.1, 0.2, 0.5, 0.9)), tx, mesh)
+
+    def test_batch_prep_runs_shard_local(self, devices8):
+        """Raw point batches: device voxelization inside the shard body."""
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        model, params = _model()
+        criterion = _criterion()
+        prep = make_device_voxelize_prep(grid_shape=(16, 12, 12),
+                                         use_indices=False)
+        rng = np.random.default_rng(5)
+        pts = rng.uniform([0, 0, 0], [30, 30, 60], (8, 900, 3)).astype(np.float32)
+        labels = rng.choice([1, 2, 15], size=(8, 900)).astype(np.int32)
+        msk = np.ones((8, 900), bool)
+
+        mask = model.trainable_mask(params)
+        ref_state, ref_tx = create_train_state(params, "sgd", 1e-2, mask)
+        ref_step = _single_device_step(model, criterion, ref_tx)
+        xg, yg = jax.jit(prep)(pts, labels, msk)
+        ref_state, ref_m, ref_loss, _ = ref_step(
+            ref_state, init_metric_state(), xg, yg)
+
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        ep_state, ep_tx = create_train_state(params, "sgd", 1e-2, mask)
+        ep_step = make_ensemble_train_step(model, criterion, ep_tx, mesh,
+                                           batch_prep=prep)
+        ep_state, ep_m, ep_loss = ep_step(ep_state, init_metric_state(),
+                                          pts, labels, msk)
+        np.testing.assert_allclose(float(ep_loss), float(ref_loss), rtol=1e-5)
+        _assert_tree_close(ep_state.params, ref_state.params)
+        for a, b in zip(ep_m, ref_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEnsembleEvalStep:
+    @pytest.mark.parametrize("b", [8, 5])  # 5: ragged tail → replicated
+    def test_matches_single_device(self, devices8, b):
+        from scenenet_tpu.train.metrics import update_metrics
+
+        model, params = _model()
+        criterion = _criterion()
+        x, y = _batch(b=b)
+
+        @jax.jit
+        def ref_eval(params, mstate, x, y):
+            pred = model.apply(params, x)
+            loss = criterion(pred, y, model.cvx_coefficients(params),
+                             model.geneo_params_flat(params),
+                             model.last_lambda)
+            return update_metrics(mstate, pred, y, 0.65), loss, pred
+
+        ref_m, ref_loss, ref_pred = ref_eval(params, init_metric_state(), x, y)
+
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        eval_step = make_ensemble_eval_step(model, criterion, mesh)
+        ep_m, ep_loss, ep_pred = eval_step(params, None,
+                                           init_metric_state(), x, y)
+        np.testing.assert_allclose(float(ep_loss), float(ref_loss), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ep_pred), np.asarray(ref_pred),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b_ in zip(ep_m, ref_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
