@@ -30,7 +30,14 @@ from scenenet_tpu.utils.seeding import fix_randomness
 
 
 def build_criterion(cfg: ExperimentConfig):
-    return resolve_criterion(cfg.criterion)(**cfg.criterion_params())
+    kw = cfg.criterion_params()
+    if cfg.criterion.startswith("quantile"):
+        # the pinball loss must target the SAME quantiles the ensemble's
+        # members were built for — criterion_params() is criterion-generic
+        # and would otherwise leave the create() default (0.1, 0.5, 0.9)
+        # silently mis-indexing a custom ensemble's members
+        kw["quantiles"] = tuple(getattr(cfg, "quantiles", (0.1, 0.5, 0.9)))
+    return resolve_criterion(cfg.criterion)(**kw)
 
 
 def build_model(cfg: ExperimentConfig, seed: Optional[int] = None):
@@ -178,20 +185,34 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     mesh = None
     md, msp = int(cfg.mesh_data), int(cfg.mesh_space)
     mdcn = int(getattr(cfg, "mesh_dcn_data", 1))
-    if md * msp * mdcn > 1:
+    mens = int(getattr(cfg, "mesh_ensemble", 1))
+    if md * msp * mdcn * mens > 1:
         import jax
 
         from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
 
         n_dev = len(jax.devices())
-        if md * msp * mdcn != n_dev:
-            raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space) = "
-                             f"{md * msp * mdcn} devices, but "
+        if md * msp * mdcn * mens != n_dev:
+            raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space)"
+                             f"×{mens}(ensemble) = "
+                             f"{md * msp * mdcn * mens} devices, but "
                              f"{n_dev} are visible")
+        if mens > 1 and msp > 1:
+            raise ValueError("mesh_ensemble and mesh_space cannot be "
+                             "combined (use data × ensemble)")
         if msp > 1 and cfg.model != "scenenet":
             raise ValueError("spatial sharding (mesh_space > 1) is "
                              "implemented for the scenenet model "
                              f"(got model={cfg.model!r})")
+        if mens > 1:
+            if cfg.model != "quantile":
+                raise ValueError("ensemble parallelism (mesh_ensemble > 1) "
+                                 "shards the quantile ensemble's members "
+                                 f"(got model={cfg.model!r})")
+            n_members = len(getattr(cfg, "quantiles", (0.1, 0.5, 0.9)))
+            if n_members % mens:
+                raise ValueError(f"{n_members} quantiles do not divide by "
+                                 f"mesh_ensemble ({mens})")
         if cfg.model == "unet":
             raise ValueError("mesh training supports stateless models only "
                              "(unet's BatchNorm stats need cross-shard sync)")
@@ -204,8 +225,12 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         if cfg.voxel_grid_size[2] % msp:
             raise ValueError(f"grid Z extent {cfg.voxel_grid_size[2]} must "
                              f"divide by mesh_space ({msp})")
-        mesh = (make_hybrid_mesh((mdcn, 1), (md, msp)) if mdcn > 1
-                else make_mesh((md, msp)))
+        # the non-data axis: EP members (model) or the spatial Z shards
+        inner = ("model", mens) if mens > 1 else ("space", msp)
+        axis_names = ("data", inner[0])
+        mesh = (make_hybrid_mesh((mdcn, 1), (md, inner[1]),
+                                 axis_names=axis_names) if mdcn > 1
+                else make_mesh((md, inner[1]), axis_names=axis_names))
         print(f"[mesh] training over {dict(mesh.shape)}"
               + (f" ({mdcn}-way DP across slices)" if mdcn > 1 else ""))
 

@@ -186,7 +186,7 @@ def make_ensemble_inference_fn(model, mesh: Mesh, batch_axis: str = "data",
     return run
 
 
-def make_ensemble_train_step(
+def make_local_ensemble_train_step(
     model,
     criterion,
     tx: optax.GradientTransformation,
@@ -196,24 +196,15 @@ def make_ensemble_train_step(
     model_axis: str = "model",
     batch_prep: Callable | None = None,
     with_grads: bool = False,
-    compiler_options: dict | None = None,
 ) -> Callable:
-    """Full (DP × EP) train step for the quantile ensemble: returns jit'd
-    ``step(state, mstate, *batch) -> (state, mstate, loss[, grads])`` —
-    the same contract as :func:`parallel.dp.make_sharded_train_step`, so
-    the Trainer's streaming fit, watch-all grad logging, checkpointing and
-    preemption snapshots work unchanged.
-
-    ``batch_prep`` (per-sample, e.g. device voxelization) runs inside the
-    shard body on the shard's local samples; it is replicated over the
-    model axis (each member shard re-voxelizes its data shard — trivial
-    next to the per-member convs it feeds).
-    """
+    """The shard-local EP train-step body (run inside ``shard_map``) —
+    the ensemble counterpart of :func:`parallel.dp.make_local_train_step`,
+    shared by :func:`make_ensemble_train_step` and the Trainer's
+    cached-epoch scans so the EP math cannot drift between the streaming
+    and cached fits. Returns ``local_step(state, mstate, *batch) ->
+    (state, mstate, loss[, grads])``."""
     q_local = _check_ensemble(model, mesh, model_axis)
     _check_criterion(criterion, model)
-    data_size = mesh.shape[batch_axis]
-    jit = (functools.partial(jax.jit, compiler_options=compiler_options)
-           if compiler_options else jax.jit)
 
     def local_step(state: TrainState, mstate: MetricState, *batch):
         if batch_prep is not None:
@@ -247,6 +238,39 @@ def make_ensemble_train_step(
             return new_state, mstate, loss, grads
         return new_state, mstate, loss
 
+    return local_step
+
+
+def make_ensemble_train_step(
+    model,
+    criterion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    model_axis: str = "model",
+    batch_prep: Callable | None = None,
+    with_grads: bool = False,
+    compiler_options: dict | None = None,
+) -> Callable:
+    """Full (DP × EP) train step for the quantile ensemble: returns jit'd
+    ``step(state, mstate, *batch) -> (state, mstate, loss[, grads])`` —
+    the same contract as :func:`parallel.dp.make_sharded_train_step`, so
+    the Trainer's streaming fit, watch-all grad logging, checkpointing and
+    preemption snapshots work unchanged.
+
+    ``batch_prep`` (per-sample, e.g. device voxelization) runs inside the
+    shard body on the shard's local samples; it is replicated over the
+    model axis (each member shard re-voxelizes its data shard — trivial
+    next to the per-member convs it feeds).
+    """
+    data_size = mesh.shape[batch_axis]
+    jit = (functools.partial(jax.jit, compiler_options=compiler_options)
+           if compiler_options else jax.jit)
+    local_step = make_local_ensemble_train_step(
+        model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
+        model_axis=model_axis, batch_prep=batch_prep, with_grads=with_grads)
+
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     sharded_cache: dict = {}
 
@@ -272,6 +296,48 @@ def make_ensemble_train_step(
     return step
 
 
+def make_local_ensemble_eval_step(
+    model,
+    criterion,
+    mesh: Mesh,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    model_axis: str = "model",
+    batch_sharded: bool = True,
+    with_pred: bool = True,
+) -> Callable:
+    """The shard-local EP eval body: forward on this shard's members +
+    globally-assembled loss + psum'd confusion delta. ``batch_sharded``
+    False = the batch is replicated over the data axis (ragged-tail
+    variant); ``with_pred`` False drops the prediction output (the cached
+    one-scan evaluation must not stack predictions). Returns
+    ``local_eval(params, mstate, x, y) -> (mstate, loss[, pred])``."""
+    q_local = _check_ensemble(model, mesh, model_axis)
+    _check_criterion(criterion, model)
+
+    def local_eval(params, mstate, x, y):
+        loss, pred = _local_quantile_loss(
+            criterion, model, params, x, y,
+            batch_axis if batch_sharded else model_axis,
+            model_axis, q_local)
+        # replicated batch: the local loss already averages the FULL batch
+        # (the weight normalization's pmean over the model axis, where
+        # everything is replicated, is an identity), so the member psum
+        # alone is the global value
+        loss = lax.psum(loss, model_axis)
+        if batch_sharded:
+            loss = lax.pmean(loss, batch_axis)
+        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+        delta = update_metrics(zero, pred, y, tau)
+        axes = ((batch_axis, model_axis) if batch_sharded else (model_axis,))
+        delta = MetricState(*(lax.psum(v, axes) for v in delta))
+        if with_pred:
+            return merge_metric_states(mstate, delta), loss, pred
+        return merge_metric_states(mstate, delta), loss
+
+    return local_eval
+
+
 def make_ensemble_eval_step(
     model,
     criterion,
@@ -292,34 +358,15 @@ def make_ensemble_eval_step(
     Returns ``eval_step(params, model_state, mstate, *batch) ->
     (mstate, loss, pred)`` with the full (B, Q, …) assembled prediction.
     """
-    q_local = _check_ensemble(model, mesh, model_axis)
-    _check_criterion(criterion, model)
     data_size = mesh.shape[batch_axis]
     jit = (functools.partial(jax.jit, compiler_options=compiler_options)
            if compiler_options else jax.jit)
     prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
 
     def _local_eval(batch_sharded: bool):
-        def local_eval(params, mstate, x, y):
-            loss, pred = _local_quantile_loss(
-                criterion, model, params, x, y,
-                batch_axis if batch_sharded else model_axis,
-                model_axis, q_local)
-            # replicated batch: the local loss already averages the FULL
-            # batch (the weight normalization's pmean over the model axis,
-            # where everything is replicated, is an identity), so the
-            # member psum alone is the global value
-            loss = lax.psum(loss, model_axis)
-            if batch_sharded:
-                loss = lax.pmean(loss, batch_axis)
-            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-            delta = update_metrics(zero, pred, y, tau)
-            axes = ((batch_axis, model_axis) if batch_sharded
-                    else (model_axis,))
-            delta = MetricState(*(lax.psum(v, axes) for v in delta))
-            return merge_metric_states(mstate, delta), loss, pred
-
-        return local_eval
+        return make_local_ensemble_eval_step(
+            model, criterion, mesh, tau=tau, batch_axis=batch_axis,
+            model_axis=model_axis, batch_sharded=batch_sharded)
 
     dp_x = P(batch_axis, None, None, None, None)
     rep_x = P(None, None, None, None, None)

@@ -268,14 +268,26 @@ class Trainer:
         self._train_step, self._eval_step = train_step, eval_step
         return train_step, eval_step
 
+    def _mesh_ensemble_size(self) -> int:
+        """Size of the mesh's ensemble-parallel ('model') axis, 1 if none
+        (see :mod:`scenenet_tpu.parallel.ep`)."""
+        return self.mesh.shape.get("model", 1) if self.mesh is not None else 1
+
     def _mesh_eval_step(self):
         """Sharded eval twin: validation/test under a mesh must fit the
         SAME per-device memory envelope as the sharded train step (a
         replicated plain-jit forward would OOM exactly in the capacity
         regime mesh_space exists for)."""
+        cfg = self.config
+        if self._mesh_ensemble_size() > 1:
+            from scenenet_tpu.parallel.ep import make_ensemble_eval_step
+
+            return make_ensemble_eval_step(
+                self.model, self.criterion, self.mesh, tau=cfg.tau,
+                batch_prep=self.batch_prep,
+                compiler_options=cfg.compiler_options)
         from scenenet_tpu.parallel.dp import make_sharded_eval_step
 
-        cfg = self.config
         return make_sharded_eval_step(
             self.model, self.criterion, self.mesh, tau=cfg.tau,
             batch_prep=self.batch_prep,
@@ -318,6 +330,16 @@ class Trainer:
 
         self._check_mesh_supported(pure_dp=True, batch_size=batch_size)
         cfg = self.config
+        if self._mesh_ensemble_size() > 1:
+            from scenenet_tpu.parallel.ep import make_local_ensemble_eval_step
+
+            local_eval = make_local_ensemble_eval_step(
+                self.model, self.criterion, self.mesh, tau=cfg.tau,
+                with_pred=False)
+            bspec = P("data", None, None, None, None)
+            return shard_map(local_eval, mesh=self.mesh,
+                             in_specs=(P(), P(), bspec, bspec),
+                             out_specs=(P(), P()), check_vma=False)
         axes = tuple(self.mesh.axis_names)
         dist_crit = make_distributed(self.criterion, axes)
         last = getattr(self.model, "last_lambda", None)
@@ -353,12 +375,21 @@ class Trainer:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from scenenet_tpu.parallel.dp import make_local_train_step
-
         self._check_mesh_supported(pure_dp=True, batch_size=batch_size)
-        local_update = make_local_train_step(
-            self.model, self.criterion, tx, self.mesh, tau=self.config.tau,
-            batch_prep=self.batch_prep if raw else None)
+        if self._mesh_ensemble_size() > 1:
+            from scenenet_tpu.parallel.ep import make_local_ensemble_train_step
+
+            local_update = make_local_ensemble_train_step(
+                self.model, self.criterion, tx, self.mesh,
+                tau=self.config.tau,
+                batch_prep=self.batch_prep if raw else None)
+        else:
+            from scenenet_tpu.parallel.dp import make_local_train_step
+
+            local_update = make_local_train_step(
+                self.model, self.criterion, tx, self.mesh,
+                tau=self.config.tau,
+                batch_prep=self.batch_prep if raw else None)
         if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
             in_specs = (P(), P(), P("data", None, None),
                         P("data", None), P("data", None))
@@ -375,6 +406,17 @@ class Trainer:
         cfg = self.config
         self._check_mesh_supported()
         space = self.mesh.shape.get("space", 1)
+        if self._mesh_ensemble_size() > 1:
+            if space > 1:
+                raise ValueError(
+                    "a mesh cannot combine the ensemble ('model') and "
+                    "spatial ('space') axes yet; use (data, model)")
+            from scenenet_tpu.parallel.ep import make_ensemble_train_step
+
+            return make_ensemble_train_step(
+                self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
+                batch_prep=self.batch_prep, with_grads=True,
+                compiler_options=cfg.compiler_options)
         if space > 1 and not hasattr(self.model, "synthesize_kernels"):
             raise ValueError(
                 "spatial sharding (mesh space > 1) requires the SceneNet "

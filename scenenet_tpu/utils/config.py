@@ -138,6 +138,11 @@ class ExperimentConfig:
     mesh_data: int = 1
     mesh_space: int = 1
     mesh_dcn_data: int = 1
+    # ensemble parallelism (model=quantile): shard the ensemble's members
+    # over a 'model' mesh axis — each device convolves only
+    # len(quantiles)/mesh_ensemble members (parallel/ep.py). Composes with
+    # mesh_data/mesh_dcn_data; mutually exclusive with mesh_space.
+    mesh_ensemble: int = 1
 
     # logging / export
     use_wandb: bool = False
@@ -173,7 +178,8 @@ class ExperimentConfig:
         }
 
 
-_TUPLE_FIELDS = {"voxel_grid_size", "voxel_size", "kernel_size", "keep_labels"}
+_TUPLE_FIELDS = {"voxel_grid_size", "voxel_size", "kernel_size",
+                 "keep_labels", "quantiles"}
 
 
 def _coerce(name: str, value: Any) -> Any:
@@ -187,7 +193,9 @@ def _coerce(name: str, value: Any) -> Any:
             # scalar spellings are natural YAML ("keep_labels: 15",
             # "voxel_size: 0.5"): broadcast to the field's arity instead
             # of crashing in tuple(<int>)
-            return (value,) if name == "keep_labels" else (value,) * 3
+            if name in ("keep_labels", "quantiles"):
+                return (value,)
+            return (value,) * 3
         return tuple(value)
     if isinstance(value, str) and value.lower() in ("none", "null"):
         # YAML-style null / python None spellings from --set overrides

@@ -211,3 +211,19 @@ class TestGridOrder:
         (B, 1, Z, X, Y). A plain [::-1] would swap X and Y."""
         cfg = ExperimentConfig(voxel_grid_size=(32, 64, 256))
         assert cfg.grid_zxy() == (256, 32, 64)
+
+
+class TestQuantilesCoercion:
+    def test_stringified_tuple_parses(self):
+        """The reference-style stringified spelling must reach the model
+        AND criterion as floats — before this was a _TUPLE_FIELDS entry,
+        "(0.1, 0.3)" silently became a 10-member tuple of characters."""
+        cfg = load_config(None, {"data_path": "x",
+                                 "quantiles": "(0.1, 0.3, 0.5, 0.9)"})
+        assert cfg.quantiles == (0.1, 0.3, 0.5, 0.9)
+
+    def test_yaml_list_and_scalar(self):
+        cfg = load_config(None, {"data_path": "x", "quantiles": [0.25, 0.75]})
+        assert cfg.quantiles == (0.25, 0.75)
+        cfg = load_config(None, {"data_path": "x", "quantiles": 0.5})
+        assert cfg.quantiles == (0.5,)

@@ -217,3 +217,143 @@ class TestEnsembleEvalStep:
                                    rtol=1e-5, atol=1e-6)
         for a, b_ in zip(ep_m, ref_m):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+class _GridBox:
+    def __init__(self, n, g, seed):
+        rng = np.random.default_rng(seed)
+        self.x = jnp.asarray((rng.random((n, 1, g, g, g)) > 0.9), jnp.uint8)
+        self.y = jnp.asarray((rng.random((n, 1, g, g, g)) > 0.97), jnp.uint8)
+
+    def __len__(self):
+        return int(self.x.shape[0])
+
+
+def _cfg(tmp_path, tag, **kw):
+    from scenenet_tpu.train import TrainConfig
+
+    base = dict(
+        max_epochs=2, optimizer="sgd", learning_rate=1e-2,
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        run_dir=str(tmp_path / f"run_{tag}"),
+        early_stop_metric=None)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestTrainerEnsembleMesh:
+    """Trainer(mesh=(data, model)) routes fit / evaluate / the cached
+    epochs through the EP step — equality vs the single-device Trainer."""
+
+    def test_fit_matches_single_device(self, devices8, tmp_path):
+        from scenenet_tpu.train import Trainer
+
+        batches = [
+            _batch(seed=i) for i in range(3)
+        ]
+        outs = []
+        for tag, mesh in (
+                ("ref", None),
+                ("ep", make_mesh((2, 4), axis_names=("data", "model"),
+                                 devices=devices8))):
+            model, params = _model()
+            t = Trainer(model, _criterion(), _cfg(tmp_path, tag), mesh=mesh)
+            final, best = t.fit(params, batches, val_loader=batches[:1])
+            outs.append((final, best))
+        (ref_p, ref_best), (ep_p, ep_best) = outs
+        _assert_tree_close(ep_p, ref_p)
+        for k in ref_best:
+            if k.endswith("_s"):  # wall-clock keys (epoch_time_s)
+                continue
+            assert ep_best[k] == pytest.approx(ref_best[k], rel=3e-4), k
+
+    @pytest.mark.parametrize("augment", [False, True])
+    def test_fit_grid_cached_matches_single_device(self, devices8, tmp_path,
+                                                   augment):
+        from scenenet_tpu.train import Trainer
+
+        outs = []
+        for tag, mesh in (
+                ("cref", None),
+                ("cep", make_mesh((2, 4), axis_names=("data", "model"),
+                                  devices=devices8))):
+            grids = _GridBox(32, 12, 0)
+            model, params = _model()
+            t = Trainer(model, _criterion(), _cfg(tmp_path, tag + str(augment)),
+                        mesh=mesh)
+            final, best = t.fit_grid_cached(
+                params, grids, batch_size=8, augment=augment,
+                key=jax.random.PRNGKey(7))
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref_p, ref_best), (ep_p, ep_best) = outs
+        _assert_tree_close(ep_p, ref_p)
+        assert ep_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=3e-4)
+
+    def test_space_and_model_axes_conflict(self, devices8, tmp_path):
+        from scenenet_tpu.train import Trainer
+
+        model, params = _model()
+        mesh = make_mesh((2, 2, 2), axis_names=("data", "space", "model"),
+                         devices=devices8)
+        t = Trainer(model, _criterion(), _cfg(tmp_path, "conflict"),
+                    mesh=mesh)
+        with pytest.raises(ValueError, match="cannot combine"):
+            t.fit(params, [_batch()])
+
+
+class TestCliEnsembleMesh:
+    def test_cli_ep_end_to_end(self, devices8, tmp_path):
+        """model=quantile + mesh_data×mesh_ensemble from the CLI: device
+        voxelization, EP cached epochs, sharded eval — a full run."""
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        root = tmp_path / "ds"
+        rng = np.random.default_rng(13)
+        for split, n in [("fit", 20), ("test", 4)]:
+            (root / split).mkdir(parents=True)
+            for i in range(n):
+                xyz = rng.uniform([0, 0, 0], [30, 30, 60], (1500, 3))
+                labels = rng.choice([1, 2, 15], size=1500,
+                                    p=[0.5, 0.35, 0.15])
+                np.save(root / split / f"s{i}.npy",
+                        np.concatenate([xyz, labels[:, None]], axis=1))
+        cfg = ExperimentConfig(
+            data_path=str(root), output_dir=str(tmp_path / "out"),
+            batch_size=8, voxel_grid_size=(12, 12, 16), max_epochs=2,
+            num_workers=2, early_stop_metric=None, val_split=0.2,
+            model="quantile", criterion="quantile_geneo",
+            quantiles=(0.1, 0.3, 0.5, 0.9),
+            mesh_data=2, mesh_ensemble=4)
+        metrics = run(cfg)
+        assert np.isfinite(metrics["test_loss"])
+
+    def test_cli_ep_guards(self, tmp_path):
+        from scenenet_tpu.cli.train import run
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        base = dict(data_path=str(tmp_path), output_dir=str(tmp_path / "o"))
+        with pytest.raises(ValueError, match="quantile ensemble"):
+            run(ExperimentConfig(model="scenenet", mesh_data=2,
+                                 mesh_ensemble=4, **base))
+        with pytest.raises(ValueError, match="do not divide"):
+            run(ExperimentConfig(model="quantile", mesh_data=2,
+                                 mesh_ensemble=4, quantiles=(0.1, 0.5, 0.9),
+                                 **base))
+        with pytest.raises(ValueError, match="cannot be combined"):
+            run(ExperimentConfig(model="quantile", mesh_space=2,
+                                 mesh_ensemble=4, quantiles=(0.1, 0.5, 0.9, 0.95),
+                                 **base))
+
+    def test_build_criterion_forwards_quantiles(self):
+        """cfg.quantiles must reach the pinball loss (a silent-mismatch
+        bug fixed alongside EP: criterion_params() is criterion-generic)."""
+        from scenenet_tpu.cli.train import build_criterion
+        from scenenet_tpu.utils.config import ExperimentConfig
+
+        cfg = ExperimentConfig(model="quantile", criterion="quantile_geneo",
+                               quantiles=(0.05, 0.25, 0.5, 0.75, 0.95))
+        crit = build_criterion(cfg)
+        assert crit.quantiles == (0.05, 0.25, 0.5, 0.75, 0.95)

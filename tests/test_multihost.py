@@ -315,3 +315,89 @@ def test_two_process_trainer_mesh_fit(tmp_path):
     worker = tmp_path / "trainer_worker.py"
     worker.write_text("import os\n" + _TRAINER_WORKER)
     _run_workers(worker, str(tmp_path / "out"), "MULTIHOST_TRAINER_OK")
+
+
+_EP_WORKER = r'''
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins a TPU plugin
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out_dir = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=proc_id)
+
+import numpy as np
+import jax.numpy as jnp
+
+from scenenet_tpu.losses import resolve_criterion
+from scenenet_tpu.models import QuantileSceneNet
+from scenenet_tpu.parallel import make_mesh
+from scenenet_tpu.train import Trainer, TrainConfig
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+Q = (0.1, 0.3, 0.5, 0.9)
+
+def criterion():
+    return resolve_criterion("quantile_geneo")(
+        quantiles=Q, weight_alpha=1, weight_epsilon=0.1, mse_weight=1,
+        convex_weight=5)
+
+def cfg(tag):
+    return TrainConfig(max_epochs=2, optimizer="sgd", learning_rate=1e-2,
+                       checkpoint_dir=f"{out_dir}/c{tag}{proc_id}",
+                       run_dir=f"{out_dir}/r{tag}{proc_id}",
+                       early_stop_metric=None, log_gradients=False)
+
+rng = np.random.default_rng(11)
+batches = []
+for _ in range(3):
+    x = (rng.random((8, 1, 16, 12, 12)) > 0.9).astype(np.float32)
+    y = (rng.random((8, 1, 16, 12, 12)) > 0.97).astype(np.float32)
+    batches.append((x, y))
+
+model, params = QuantileSceneNet.create(
+    {"cy": 1, "cone": 1, "neg": 1}, kernel_size=(9, 5, 5), quantiles=Q,
+    seed=3)
+
+# INTERLEAVE devices across processes along the model axis so the member
+# grad/loss psum crosses the process boundary (the production hazard) —
+# row r of the (2 data x 4 model) mesh alternates p0,p1,p0,p1
+by_proc = [[d for d in jax.devices() if d.process_index == p]
+           for p in (0, 1)]
+order = []
+for r in range(2):
+    for c in range(4):
+        order.append(by_proc[c % 2][2 * r + c // 2])
+mesh = make_mesh((2, 4), axis_names=("data", "model"), devices=order)
+pidx = np.vectorize(lambda d: d.process_index)(mesh.devices)
+assert set(pidx[0].tolist()) == {0, 1}, pidx  # model axis spans processes
+
+mt = Trainer(model, criterion(), cfg("m"), mesh=mesh)
+mesh_params, mesh_best = mt.fit(params, batches)
+
+# process-local reference (identical on both): plain single-device fit
+ref = Trainer(model, criterion(), cfg("s"))
+ref_params, ref_best = ref.fit(params, batches)
+
+for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, mesh_params)),
+                jax.tree.leaves(jax.tree.map(np.asarray, ref_params))):
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+assert abs(mesh_best["train_loss"] - ref_best["train_loss"]) <= \
+    3e-4 * abs(ref_best["train_loss"])
+print(f"MULTIHOST_EP_OK proc={jax.process_index()} "
+      f"loss={mesh_best['train_loss']:.6f}")
+'''
+
+
+@pytest.mark.slow
+def test_two_process_ensemble_parallel_fit(tmp_path):
+    """Ensemble parallelism across 2 real processes, with the mesh's
+    model axis INTERLEAVED across the process boundary so the per-step
+    member grad/loss psum is a genuine cross-process collective; the EP
+    fit must match a single-device fit run inside the same workers."""
+    worker = tmp_path / "ep_worker.py"
+    worker.write_text("import os\n" + _EP_WORKER)
+    _run_workers(worker, str(tmp_path / "out"), "MULTIHOST_EP_OK")
