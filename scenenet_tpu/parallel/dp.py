@@ -150,7 +150,12 @@ def make_sharded_eval_step(
            if compiler_options else jax.jit)
     prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
 
-    space_size = mesh.shape[space_axis]
+    # meshes without a space axis (e.g. a degenerate ('data', 'model') EP
+    # mesh with one member shard) run pure-DP: drop the axis from every
+    # spec/collective instead of KeyError'ing on its name
+    space_size = mesh.shape.get(space_axis, 1)
+    if space_axis not in mesh.shape:
+        space_axis = None
 
     def _local_eval(axes):
         dist_criterion = make_distributed(criterion, axes)
@@ -166,24 +171,29 @@ def make_sharded_eval_step(
             geneo = (model.geneo_params_flat(params)
                      if hasattr(model, "geneo_params_flat") else {})
             loss = dist_criterion(pred, y, cvx, geneo, last)
-            loss = lax.pmean(loss, axes)
+            if axes:
+                loss = lax.pmean(loss, axes)
             zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
             delta = update_metrics(zero, pred, y, tau)
             # psum only over the axes the batch is actually sharded on —
             # a replicated batch would double-count over the data axis
-            delta = MetricState(*(lax.psum(v, axes) for v in delta))
+            # (and with NO sharded axes — replicated batch on a pure-DP
+            # mesh — the local values are already global: no collective)
+            if axes:
+                delta = MetricState(*(lax.psum(v, axes) for v in delta))
             return merge_metric_states(mstate, delta), loss, pred
 
         return local_eval
 
+    space_axes = (space_axis,) if space_axis is not None else ()
     dp_spec = P(batch_axis, None, space_axis, None, None)
     rep_spec = P(None, None, space_axis, None, None)
     dp_step = jit(shard_map(
-        _local_eval((batch_axis, space_axis)), mesh=mesh,
+        _local_eval((batch_axis,) + space_axes), mesh=mesh,
         in_specs=(P(), P(), dp_spec, dp_spec),
         out_specs=(P(), P(), dp_spec), check_vma=False))
     rep_step = jit(shard_map(
-        _local_eval((space_axis,)), mesh=mesh,
+        _local_eval(space_axes), mesh=mesh,
         in_specs=(P(), P(), rep_spec, rep_spec),
         out_specs=(P(), P(), rep_spec), check_vma=False))
 
@@ -194,10 +204,10 @@ def make_sharded_eval_step(
         else:
             x, y = batch
         x, y = jnp.asarray(x), jnp.asarray(y)
-        if x.shape[2] % mesh.shape[space_axis]:
+        if x.shape[2] % space_size:
             raise ValueError(
                 f"grid Z extent {x.shape[2]} not divisible by mesh "
-                f"'{space_axis}' axis ({mesh.shape[space_axis]})")
+                f"'{space_axis}' axis ({space_size})")
         divisible = x.shape[0] % data_size == 0
         spec = dp_spec if divisible else rep_spec
         sharding = NamedSharding(mesh, spec)
@@ -232,10 +242,13 @@ def make_local_train_step(
     (state, mstate, loss[, grads])``; ``*batch`` is ``(x, y)`` grids, or
     raw prep inputs when ``batch_prep`` is given.
     """
-    axes = (batch_axis, space_axis)
+    space_size = mesh.shape.get(space_axis, 1)
+    if space_axis not in mesh.shape:  # pure-DP mesh without a space axis
+        axes = (batch_axis,)
+    else:
+        axes = (batch_axis, space_axis)
     dist_criterion = make_distributed(criterion, axes)
     last = getattr(model, "last_lambda", None)
-    space_size = mesh.shape[space_axis]
 
     def local_step(state: TrainState, mstate: MetricState, *batch):
         if batch_prep is not None:
@@ -314,7 +327,7 @@ def make_sharded_train_step(
     ``with_grads=True`` appends the pmean'd gradients to the return
     (``(state, mstate, loss, grads)``) for watch-all gradient logging.
     """
-    space_size = mesh.shape[space_axis]
+    space_size = mesh.shape.get(space_axis, 1)
     jit = (functools.partial(jax.jit, compiler_options=compiler_options)
            if compiler_options else jax.jit)
     local_step = make_local_train_step(
@@ -359,7 +372,9 @@ def make_sharded_train_step(
 
         return step
 
-    batch_spec = P(batch_axis, None, space_axis, None, None)
+    batch_spec = P(batch_axis, None,
+                   space_axis if space_axis in mesh.shape else None,
+                   None, None)
     sharded = shard_map(
         local_step,
         mesh=mesh,

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,11 @@ def _check_ensemble(model, mesh: Mesh, model_axis: str) -> int:
             "ensemble parallelism requires a member-stacked ensemble model "
             "(QuantileSceneNet: .net + .quantiles); got "
             f"{type(model).__name__}")
+    if model_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{model_axis}' axis (axes: "
+            f"{tuple(mesh.axis_names)}); build it with "
+            f"make_mesh(..., axis_names=('data', '{model_axis}'))")
     n = len(quantiles)
     m = mesh.shape[model_axis]
     if n % m:
@@ -90,11 +95,12 @@ def _local_quantile_values(quantiles, model_axis: str, q_local: int):
 
 def _local_ensemble_forward(model, local_params, x,
                             inference: "bool | str" = False):
-    """(B, 1, Z, X, Y) × local members → (B, Q_local, Z, X, Y); the same
-    vmap-over-members forward as ``QuantileSceneNet.apply``."""
-    pred = jax.vmap(
-        lambda p: model.net.apply(p, x, inference=inference))(local_params)
-    return jnp.moveaxis(pred[:, :, 0], 0, 1)
+    """(B, 1, Z, X, Y) × local members → (B, Q_local, Z, X, Y).
+
+    ``QuantileSceneNet.apply`` vmaps over the params' leading member axis
+    (never over ``model.quantiles``), so it runs unchanged on the sliced
+    local tree — one implementation of the member-axis layout."""
+    return model.apply(local_params, x, inference=inference)
 
 
 def _local_quantile_loss(criterion: QuantileLoss, model, params, x, y,

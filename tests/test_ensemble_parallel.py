@@ -357,3 +357,56 @@ class TestCliEnsembleMesh:
                                quantiles=(0.05, 0.25, 0.5, 0.75, 0.95))
         crit = build_criterion(cfg)
         assert crit.quantiles == (0.05, 0.25, 0.5, 0.75, 0.95)
+
+
+class TestDegenerateEnsembleMesh:
+    """A ('data', 'model') mesh with model-axis size 1 must train as pure
+    DP (the dp path used to KeyError on the missing 'space' axis)."""
+
+    def test_fit_routes_to_dp(self, devices8, tmp_path):
+        from scenenet_tpu.train import Trainer
+
+        batches = [_batch(seed=i) for i in range(2)]
+        outs = []
+        for tag, mesh in (
+                ("dref", None),
+                ("ddp", make_mesh((8, 1), axis_names=("data", "model"),
+                                  devices=devices8))):
+            model, params = _model()
+            t = Trainer(model, _criterion(), _cfg(tmp_path, tag), mesh=mesh)
+            final, _ = t.fit(params, batches)
+            outs.append(final)
+        _assert_tree_close(outs[1], outs[0])
+
+    @pytest.mark.parametrize("b", [8, 5])  # 5: ragged tail, NO sharded axes
+    def test_eval_ragged_tail_no_space_axis(self, devices8, b):
+        from scenenet_tpu.parallel.dp import make_sharded_eval_step
+        from scenenet_tpu.train.metrics import update_metrics
+
+        model, params = _model()
+        criterion = _criterion()
+        x, y = _batch(b=b)
+
+        @jax.jit
+        def ref_eval(params, mstate, x, y):
+            pred = model.apply(params, x)
+            loss = criterion(pred, y, model.cvx_coefficients(params),
+                             model.geneo_params_flat(params),
+                             model.last_lambda)
+            return update_metrics(mstate, pred, y, 0.65), loss, pred
+
+        ref_m, ref_loss, _ = ref_eval(params, init_metric_state(), x, y)
+        mesh = make_mesh((8, 1), axis_names=("data", "model"),
+                         devices=devices8)
+        eval_step = make_sharded_eval_step(model, criterion, mesh)
+        got_m, got_loss, _ = eval_step(params, None, init_metric_state(), x, y)
+        np.testing.assert_allclose(float(got_loss), float(ref_loss),
+                                   rtol=2e-4)
+        for a, b_ in zip(got_m, ref_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_missing_model_axis_raises(self, devices8):
+        model, _ = _model()
+        mesh = make_mesh((8, 1), devices=devices8)  # ('data', 'space')
+        with pytest.raises(ValueError, match="no 'model' axis"):
+            make_ensemble_inference_fn(model, mesh)
