@@ -213,9 +213,10 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             if n_members % mens:
                 raise ValueError(f"{n_members} quantiles do not divide by "
                                  f"mesh_ensemble ({mens})")
-        if cfg.model == "unet":
-            raise ValueError("mesh training supports stateless models only "
-                             "(unet's BatchNorm stats need cross-shard sync)")
+        # the stateful unet trains pure-DP under a mesh (sync-BN over the
+        # data axis); non-DP axes are already rejected above — mesh_space
+        # by the scenenet-only guard, mesh_ensemble by the quantile-only
+        # guard
         if getattr(cfg, "constrained", "penalty") == "admm":
             raise ValueError("mesh training is not supported with "
                              "constrained=admm")

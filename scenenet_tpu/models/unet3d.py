@@ -25,17 +25,23 @@ class _ConvBlock(nn.Module):
     mid_features: int | None = None
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
+    # cross-replica BatchNorm: set to the mesh's batch axis when training
+    # data-parallel under shard_map — flax pmean's the batch mean/var over
+    # the axis, so the normalization AND the stored running statistics use
+    # the GLOBAL batch (sync-BN), matching the single-device computation
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         mid = self.mid_features or self.features
         k = (self.kernel,) * 3
+        bn_kw = dict(dtype=self.dtype, axis_name=self.bn_axis_name)
         x = nn.Conv(mid, k, padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, **bn_kw)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, k, padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, **bn_kw)(x)
         return nn.relu(x)
 
 
@@ -62,23 +68,29 @@ def _pad_to(x, target):
 class _UNetModule(nn.Module):
     n_classes: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = jnp.moveaxis(x, 1, -1).astype(self.dtype)  # NCDHW → NDHWC
         dt = self.dtype
-        x1 = _ConvBlock(32, dtype=dt)(h, train)
-        x2 = _ConvBlock(64, dtype=dt)(_maxpool3d(x1), train)
-        x3 = _ConvBlock(128, dtype=dt)(_maxpool3d(x2), train)
-        x4 = _ConvBlock(256, dtype=dt)(_maxpool3d(x3), train)
-        x5 = _ConvBlock(256, dtype=dt)(_maxpool3d(x4), train)  # 512/2 bottleneck
+        ax = self.bn_axis_name
+
+        def block(feats, mid=None):
+            return _ConvBlock(feats, mid_features=mid, dtype=dt,
+                              bn_axis_name=ax)
+
+        x1 = block(32)(h, train)
+        x2 = block(64)(_maxpool3d(x1), train)
+        x3 = block(128)(_maxpool3d(x2), train)
+        x4 = block(256)(_maxpool3d(x3), train)
+        x5 = block(256)(_maxpool3d(x4), train)  # 512/2 bottleneck
 
         def up(a, skip, feats):
             a = _upsample_nearest(a)
             a = _pad_to(a, skip)
             a = jnp.concatenate([skip, a], axis=-1)
-            return _ConvBlock(feats, mid_features=a.shape[-1] // 2,
-                              dtype=dt)(a, train)
+            return block(feats, mid=a.shape[-1] // 2)(a, train)
 
         u = up(x5, x4, 128)
         u = up(u, x3, 64)
@@ -97,6 +109,9 @@ class UNet3D:
     # computation dtype: bf16 halves conv HBM traffic / doubles MXU rate;
     # params + batch_stats + sigmoid output stay f32 (mixed precision)
     dtype: jnp.dtype = jnp.float32
+    # cross-replica (sync) BatchNorm axis for mesh DP training — set via
+    # with_bn_sync(); only valid inside shard_map over that axis
+    bn_axis_name: str | None = None
 
     @classmethod
     def create(cls, n_classes: int = 1, seed: int = 0,
@@ -107,30 +122,42 @@ class UNet3D:
         )
         return model, dict(variables)
 
+    def with_bn_sync(self, axis_name: str) -> "UNet3D":
+        """A view whose BatchNorms pmean batch statistics over the named
+        mesh axis (sync-BN): under data-parallel shard_map the normalization
+        and running stats use the GLOBAL batch, so mesh training matches
+        the single-device fit exactly. Apply methods of this view must run
+        inside shard_map with the axis bound."""
+        return dataclasses.replace(self, bn_axis_name=axis_name)
+
     def split_variables(self, variables: Mapping):
         """(trainable params, model_state) for the stateful trainer."""
         state = {k: v for k, v in variables.items() if k != "params"}
         return variables["params"], state
 
+    def _module(self) -> _UNetModule:
+        return _UNetModule(self.n_classes, dtype=self.dtype,
+                           bn_axis_name=self.bn_axis_name)
+
     def apply_train(self, params, model_state, x: jnp.ndarray):
-        pred, updates = _UNetModule(self.n_classes, dtype=self.dtype).apply(
+        pred, updates = self._module().apply(
             {"params": params, **model_state}, x, train=True,
             mutable=list(model_state.keys()),
         )
         return pred, dict(updates)
 
     def apply_eval(self, params, model_state, x: jnp.ndarray):
-        return _UNetModule(self.n_classes, dtype=self.dtype).apply(
+        return self._module().apply(
             {"params": params, **model_state}, x, train=False)
 
     def apply(self, variables: Mapping, x: jnp.ndarray, train: bool = False):
         """Returns pred (and new batch_stats when train=True)."""
         if train:
-            pred, updates = _UNetModule(self.n_classes, dtype=self.dtype).apply(
+            pred, updates = self._module().apply(
                 variables, x, train=True, mutable=["batch_stats"]
             )
             return pred, updates
-        return _UNetModule(self.n_classes, dtype=self.dtype).apply(variables, x, train=False)
+        return self._module().apply(variables, x, train=False)
 
     def __call__(self, variables, x):
         return self.apply(variables, x)

@@ -134,8 +134,9 @@ def make_sharded_eval_step(
     full grid — a replicated plain-jit eval would OOM there).
 
     Returns ``eval_step(params, model_state, mstate, *batch) ->
-    (mstate, loss, pred)`` (``model_state`` accepted for signature parity
-    with the single-device step; mesh eval is stateless-only). Batches
+    (mstate, loss, pred)``. Stateful models (``is_stateful``) evaluate
+    with their replicated running statistics via ``apply_eval`` — no
+    cross-shard sync is needed at eval time. Batches
     whose leading dim divides the data axis are batch-sharded; ragged
     tails (val loaders don't drop_last) fall back to a batch-REPLICATED
     variant sharded over space only — every device computes the same
@@ -156,12 +157,19 @@ def make_sharded_eval_step(
     space_size = mesh.shape.get(space_axis, 1)
     if space_axis not in mesh.shape:
         space_axis = None
+    stateful = bool(getattr(model, "is_stateful", False))
+    if stateful and space_size > 1:
+        raise ValueError(
+            "stateful models shard over the data axis only "
+            f"(mesh '{space_axis}' axis is {space_size})")
 
     def _local_eval(axes):
         dist_criterion = make_distributed(criterion, axes)
 
-        def local_eval(params, mstate, x, y):
-            if space_size == 1:  # see make_sharded_train_step: pure-DP
+        def local_eval(params, model_state, mstate, x, y):
+            if stateful:  # running stats, replicated — no sync at eval
+                pred = model.apply_eval(params, model_state, x)
+            elif space_size == 1:  # see make_sharded_train_step: pure-DP
                 pred = model.apply(params, x)  # works for any stateless
             else:  # model; halo forward only needed when Z is sharded
                 pred = spatial_scenenet_forward(model, params, x, space_axis,
@@ -190,15 +198,14 @@ def make_sharded_eval_step(
     rep_spec = P(None, None, space_axis, None, None)
     dp_step = jit(shard_map(
         _local_eval((batch_axis,) + space_axes), mesh=mesh,
-        in_specs=(P(), P(), dp_spec, dp_spec),
+        in_specs=(P(), P(), P(), dp_spec, dp_spec),
         out_specs=(P(), P(), dp_spec), check_vma=False))
     rep_step = jit(shard_map(
         _local_eval(space_axes), mesh=mesh,
-        in_specs=(P(), P(), rep_spec, rep_spec),
+        in_specs=(P(), P(), P(), rep_spec, rep_spec),
         out_specs=(P(), P(), rep_spec), check_vma=False))
 
     def eval_step(params, model_state, mstate, *batch):
-        del model_state  # mesh eval is stateless-only (guarded upstream)
         if prep_jit is not None:
             x, y = prep_jit(*batch)
         else:
@@ -213,7 +220,8 @@ def make_sharded_eval_step(
         sharding = NamedSharding(mesh, spec)
         x = jax.device_put(x, sharding)
         y = jax.device_put(y, sharding)
-        return (dp_step if divisible else rep_step)(params, mstate, x, y)
+        return (dp_step if divisible else rep_step)(
+            params, model_state, mstate, x, y)
 
     return eval_step
 
@@ -241,6 +249,14 @@ def make_local_train_step(
     Returns ``local_step(state, mstate, *batch) ->
     (state, mstate, loss[, grads])``; ``*batch`` is ``(x, y)`` grids, or
     raw prep inputs when ``batch_prep`` is given.
+
+    Stateful models (``is_stateful``, e.g. UNet3D) train pure-DP with
+    CROSS-REPLICA BatchNorm: the model must expose ``with_bn_sync(axis)``
+    (its BatchNorms then pmean batch statistics over the data axis inside
+    shard_map), so normalization and the stored running stats use the
+    GLOBAL batch — the sharded fit matches the single-device fit exactly.
+    The updated ``model_state`` is identical on every shard (it is built
+    from the psum'd statistics) and rides ``TrainState.model_state``.
     """
     space_size = mesh.shape.get(space_axis, 1)
     if space_axis not in mesh.shape:  # pure-DP mesh without a space axis
@@ -249,6 +265,18 @@ def make_local_train_step(
         axes = (batch_axis, space_axis)
     dist_criterion = make_distributed(criterion, axes)
     last = getattr(model, "last_lambda", None)
+    stateful = bool(getattr(model, "is_stateful", False))
+    if stateful:
+        if space_size > 1:
+            raise ValueError(
+                "stateful models shard over the data axis only "
+                f"(mesh '{space_axis}' axis is {space_size})")
+        if not hasattr(model, "with_bn_sync"):
+            raise ValueError(
+                f"stateful model {type(model).__name__} lacks with_bn_sync("
+                "axis) — cross-shard batch-stats sync is required for mesh "
+                "training")
+        model = model.with_bn_sync(batch_axis)
 
     def local_step(state: TrainState, mstate: MetricState, *batch):
         if batch_prep is not None:
@@ -257,10 +285,13 @@ def make_local_train_step(
             x, y = batch
 
         def loss_fn(params):
+            new_ms = state.model_state
             # space size 1: no halo needed — plain apply, so ANY stateless
             # model (quantile ensemble, CNN baseline) trains pure-DP; the
             # SceneNet-specific halo forward only gates space > 1
-            if space_size == 1:
+            if stateful:
+                pred, new_ms = model.apply_train(params, state.model_state, x)
+            elif space_size == 1:
                 pred = model.apply(params, x)
             else:
                 pred = spatial_scenenet_forward(model, params, x, space_axis,
@@ -269,9 +300,10 @@ def make_local_train_step(
                    if hasattr(model, "cvx_coefficients") else {})
             geneo = (model.geneo_params_flat(params)
                      if hasattr(model, "geneo_params_flat") else {})
-            return dist_criterion(pred, y, cvx, geneo, last), pred
+            return dist_criterion(pred, y, cvx, geneo, last), (pred, new_ms)
 
-        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (pred, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         # DDP gradient reduction (explicit psum/pmean over the mesh);
         # the pmean of the loss is an identity for distributed criteria
         # (already globally reduced) and a sane fallback otherwise
@@ -280,7 +312,7 @@ def make_local_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_state=opt_state)
+                                  opt_state=opt_state, model_state=new_ms)
         # accumulate only this batch's (globally psum'd) confusion delta —
         # the carried mstate is already replicated/global; merge with carry
         # (a raw leaf add would overflow the lo limbs over many batches)

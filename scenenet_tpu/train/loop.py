@@ -299,9 +299,21 @@ class Trainer:
 
         cfg = self.config
         if self._stateful:
-            raise ValueError(
-                "mesh training supports stateless models only (cross-shard "
-                "batch-stats sync for stateful models is not implemented)")
+            if pure_dp:
+                raise ValueError(
+                    "cached-epoch mesh training supports stateless models "
+                    "only; stateful models (unet) stream batches via fit()")
+            if (self.mesh.shape.get("space", 1) > 1
+                    or self._mesh_ensemble_size() > 1):
+                raise ValueError(
+                    "stateful models train pure-DP under a mesh (data axis "
+                    "only) — got "
+                    f"{dict(self.mesh.shape)}")
+            if not hasattr(self.model, "with_bn_sync"):
+                raise ValueError(
+                    f"stateful model {type(self.model).__name__} lacks "
+                    "with_bn_sync(axis); cross-shard batch-stats sync is "
+                    "required for mesh training")
         if optimizer_needs_value_fn(cfg.optimizer):
             raise ValueError(
                 f"optimizer '{cfg.optimizer}' re-evaluates the loss inside "

@@ -197,9 +197,12 @@ class TestCLIMesh:
         with pytest.raises(ValueError, match="scenenet"):
             run(ExperimentConfig(batch_size=8, mesh_data=4, mesh_space=2,
                                  model="cnn", **base))
-        with pytest.raises(ValueError, match="stateless"):
-            run(ExperimentConfig(batch_size=8, mesh_data=8, model="unet",
-                                 **base))
+        # unet now trains pure-DP under a mesh (sync-BN,
+        # tests/test_unet_mesh.py); the non-DP axes stay rejected by the
+        # axis-specific guards (spatial sharding is scenenet-only)
+        with pytest.raises(ValueError, match="scenenet"):
+            run(ExperimentConfig(batch_size=8, mesh_data=4, mesh_space=2,
+                                 model="unet", **base))
         with pytest.raises(ValueError, match="divide"):
             run(ExperimentConfig(batch_size=6, mesh_data=4, mesh_space=2,
                                  **base))
