@@ -237,6 +237,7 @@ def make_local_train_step(
     overlap: bool = False,
     with_grads: bool = False,
     batch_prep: Callable | None = None,
+    needs_value_fn: bool = False,
 ) -> Callable:
     """The shard-local train-step body (run inside ``shard_map``) shared
     by :func:`make_sharded_train_step` and the Trainer's cached-epoch
@@ -309,7 +310,28 @@ def make_local_train_step(
         # (already globally reduced) and a sane fallback otherwise
         grads = lax.pmean(grads, axes)
         loss = lax.pmean(loss, axes)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if needs_value_fn:
+            # linesearch optimizers (lbfgs) re-evaluate the loss AND its
+            # slope along the search direction inside tx.update. Two
+            # requirements: (1) the VALUE must be the global loss — the
+            # trailing pmean; (2) grad(value_fn) per shard must be the
+            # GLOBAL gradient, not the shard-local one — the identity
+            # pmean on the INPUT does that (p is replicated, so the
+            # forward is unchanged, but its transpose all-reduces the
+            # cotangent). Without (2) every shard's zoom while_loop sees a
+            # different slope, trip counts diverge, and the collectives
+            # inside deadlock (measured: rendezvous timeout SIGABRT on the
+            # 8-device CPU mesh at step 1).
+            def value_fn(p):
+                p = jax.tree.map(lambda a: lax.pmean(a, axes), p)
+                return lax.pmean(loss_fn(p)[0], axes)
+
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params,
+                value=loss, grad=grads, value_fn=value_fn)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, model_state=new_ms)
@@ -339,6 +361,7 @@ def make_sharded_train_step(
     batch_prep: Callable | None = None,
     with_grads: bool = False,
     compiler_options: dict | None = None,
+    needs_value_fn: bool = False,
 ) -> Callable:
     """Full (DP × spatial) train step: returns jit'd
     ``step(state, mstate, x, y) -> (state, mstate, loss)`` where x/y are
@@ -365,7 +388,8 @@ def make_sharded_train_step(
     local_step = make_local_train_step(
         model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
         space_axis=space_axis, overlap=overlap, with_grads=with_grads,
-        batch_prep=batch_prep if space_size == 1 else None)
+        batch_prep=batch_prep if space_size == 1 else None,
+        needs_value_fn=needs_value_fn)
 
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     data_size = mesh.shape[batch_axis]

@@ -202,6 +202,7 @@ def make_local_ensemble_train_step(
     model_axis: str = "model",
     batch_prep: Callable | None = None,
     with_grads: bool = False,
+    needs_value_fn: bool = False,
 ) -> Callable:
     """The shard-local EP train-step body (run inside ``shard_map``) —
     the ensemble counterpart of :func:`parallel.dp.make_local_train_step`,
@@ -228,7 +229,26 @@ def make_local_ensemble_train_step(
         # shard's members) then DDP-reduce over data
         grads = lax.pmean(lax.psum(grads, model_axis), batch_axis)
         loss = lax.pmean(lax.psum(loss, model_axis), batch_axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if needs_value_fn:
+            # linesearch (lbfgs): the identity pmean on the input makes
+            # grad(value_fn) the GLOBAL gradient on every shard (see
+            # parallel.dp.make_local_train_step). The transpose algebra
+            # composes with the member-psum: the psum's transpose scales
+            # each shard's cotangent by the model-axis size, and the
+            # identity pmean over BOTH axes then yields exactly
+            # psum_model(pmean_data(local grads)) — the assembled gradient
+            def value_fn(p):
+                p = jax.tree.map(
+                    lambda a: lax.pmean(a, (batch_axis, model_axis)), p)
+                return lax.pmean(lax.psum(loss_fn(p)[0], model_axis),
+                                 batch_axis)
+
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params,
+                value=loss, grad=grads, value_fn=value_fn)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
@@ -258,6 +278,7 @@ def make_ensemble_train_step(
     batch_prep: Callable | None = None,
     with_grads: bool = False,
     compiler_options: dict | None = None,
+    needs_value_fn: bool = False,
 ) -> Callable:
     """Full (DP × EP) train step for the quantile ensemble: returns jit'd
     ``step(state, mstate, *batch) -> (state, mstate, loss[, grads])`` —
@@ -275,7 +296,8 @@ def make_ensemble_train_step(
            if compiler_options else jax.jit)
     local_step = make_local_ensemble_train_step(
         model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
-        model_axis=model_axis, batch_prep=batch_prep, with_grads=with_grads)
+        model_axis=model_axis, batch_prep=batch_prep, with_grads=with_grads,
+        needs_value_fn=needs_value_fn)
 
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     sharded_cache: dict = {}

@@ -295,8 +295,6 @@ class Trainer:
 
     def _check_mesh_supported(self, pure_dp=False, batch_size=None):
         """Shared loud-failure guards for every mesh fit path."""
-        from scenenet_tpu.train.state import optimizer_needs_value_fn
-
         cfg = self.config
         if self._stateful:
             if pure_dp:
@@ -314,11 +312,6 @@ class Trainer:
                     f"stateful model {type(self.model).__name__} lacks "
                     "with_bn_sync(axis); cross-shard batch-stats sync is "
                     "required for mesh training")
-        if optimizer_needs_value_fn(cfg.optimizer):
-            raise ValueError(
-                f"optimizer '{cfg.optimizer}' re-evaluates the loss inside "
-                "its update (linesearch) and is not supported with mesh "
-                "training")
         if cfg.precision == "bf16":
             raise ValueError("precision='bf16' is not supported with mesh "
                              "training (f32 masters only)")
@@ -387,21 +380,26 @@ class Trainer:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
         self._check_mesh_supported(pure_dp=True, batch_size=batch_size)
+        needs_vf = optimizer_needs_value_fn(self.config.optimizer)
         if self._mesh_ensemble_size() > 1:
             from scenenet_tpu.parallel.ep import make_local_ensemble_train_step
 
             local_update = make_local_ensemble_train_step(
                 self.model, self.criterion, tx, self.mesh,
                 tau=self.config.tau,
-                batch_prep=self.batch_prep if raw else None)
+                batch_prep=self.batch_prep if raw else None,
+                needs_value_fn=needs_vf)
         else:
             from scenenet_tpu.parallel.dp import make_local_train_step
 
             local_update = make_local_train_step(
                 self.model, self.criterion, tx, self.mesh,
                 tau=self.config.tau,
-                batch_prep=self.batch_prep if raw else None)
+                batch_prep=self.batch_prep if raw else None,
+                needs_value_fn=needs_vf)
         if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
             in_specs = (P(), P(), P("data", None, None),
                         P("data", None), P("data", None))
@@ -415,8 +413,11 @@ class Trainer:
         """Sharded replacement for the per-batch train step (see __init__'s
         ``mesh``). The unsupported combinations fail loudly here rather
         than training something subtly different."""
+        from scenenet_tpu.train.state import optimizer_needs_value_fn
+
         cfg = self.config
         self._check_mesh_supported()
+        needs_vf = optimizer_needs_value_fn(cfg.optimizer)
         space = self.mesh.shape.get("space", 1)
         if self._mesh_ensemble_size() > 1:
             if space > 1:
@@ -428,7 +429,8 @@ class Trainer:
             return make_ensemble_train_step(
                 self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
                 batch_prep=self.batch_prep, with_grads=True,
-                compiler_options=cfg.compiler_options)
+                compiler_options=cfg.compiler_options,
+                needs_value_fn=needs_vf)
         if space > 1 and not hasattr(self.model, "synthesize_kernels"):
             raise ValueError(
                 "spatial sharding (mesh space > 1) requires the SceneNet "
@@ -440,7 +442,8 @@ class Trainer:
         return make_sharded_train_step(
             self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
             batch_prep=self.batch_prep, with_grads=True,
-            compiler_options=cfg.compiler_options)
+            compiler_options=cfg.compiler_options,
+            needs_value_fn=needs_vf)
 
     # ---- fit ---------------------------------------------------------------
 

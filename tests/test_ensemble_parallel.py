@@ -410,3 +410,51 @@ class TestDegenerateEnsembleMesh:
         mesh = make_mesh((8, 1), devices=devices8)  # ('data', 'space')
         with pytest.raises(ValueError, match="no 'model' axis"):
             make_ensemble_inference_fn(model, mesh)
+
+
+class TestEnsembleLinesearch:
+    def test_lbfgs_ep_fit_matches_single_device(self, devices8, tmp_path):
+        """Linesearch under EP: the identity-pmean value_fn keeps every
+        shard's zoom while_loop in lockstep AND assembles the exact
+        member-psum'd gradient (parallel/ep.py)."""
+        from scenenet_tpu.train import Trainer
+
+        batches = [_batch(seed=i) for i in range(2)]
+        outs = []
+        for tag, mesh in (
+                ("lref", None),
+                ("lep", make_mesh((2, 4), axis_names=("data", "model"),
+                                  devices=devices8))):
+            model, params = _model()
+            cfg = _cfg(tmp_path, tag, optimizer="lbfgs", learning_rate=1e-1)
+            t = Trainer(model, _criterion(), cfg, mesh=mesh)
+            final, best = t.fit(params, batches)
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref_p, ref_best), (ep_p, ep_best) = outs
+        _assert_tree_close(ep_p, ref_p, rtol=5e-3, atol=1e-5)
+        assert ep_best["train_loss"] == pytest.approx(
+            ref_best["train_loss"], rel=1e-3)
+
+    def test_lbfgs_grid_cached_mesh_matches(self, devices8, tmp_path):
+        """Linesearch inside the cached-epoch scan body under a DP×EP
+        mesh (the needs_value_fn plumbing of _make_cached_sharded_update)."""
+        from scenenet_tpu.train import Trainer
+
+        outs = []
+        for tag, mesh in (
+                ("cl_ref", None),
+                ("cl_ep", make_mesh((2, 4), axis_names=("data", "model"),
+                                    devices=devices8))):
+            grids = _GridBox(16, 12, 0)
+            model, params = _model()
+            cfg = _cfg(tmp_path, tag, optimizer="lbfgs", learning_rate=1e-1,
+                       max_epochs=1)
+            t = Trainer(model, _criterion(), cfg, mesh=mesh)
+            final, best = t.fit_grid_cached(params, grids, batch_size=8,
+                                            augment=False,
+                                            key=jax.random.PRNGKey(3))
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref_p, _), (ep_p, _) = outs
+        _assert_tree_close(ep_p, ref_p, rtol=5e-3, atol=1e-5)
