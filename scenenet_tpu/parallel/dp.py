@@ -126,6 +126,7 @@ def make_sharded_eval_step(
     batch_prep: Callable | None = None,
     overlap: bool = False,
     compiler_options: dict | None = None,
+    precision: str = "f32",
 ) -> Callable:
     """Eval twin of :func:`make_sharded_train_step`: forward + loss +
     confusion-count delta over the mesh, so validation/test passes fit in
@@ -158,6 +159,16 @@ def make_sharded_eval_step(
     if space_axis not in mesh.shape:
         space_axis = None
     stateful = bool(getattr(model, "is_stateful", False))
+    half = precision == "bf16"
+
+    def _cast_half(tree):
+        # bf16 copies of the float leaves inside the loss; the f32 master
+        # params stay outside (same mixed-precision rule as the
+        # single-device Trainer._loss)
+        return jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+            tree)
     if stateful and space_size > 1:
         raise ValueError(
             "stateful models shard over the data axis only "
@@ -167,13 +178,16 @@ def make_sharded_eval_step(
         dist_criterion = make_distributed(criterion, axes)
 
         def local_eval(params, model_state, mstate, x, y):
+            fparams, fx = ((_cast_half(params), x.astype(jnp.bfloat16))
+                           if half else (params, x))
             if stateful:  # running stats, replicated — no sync at eval
-                pred = model.apply_eval(params, model_state, x)
+                pred = model.apply_eval(fparams, model_state, fx)
             elif space_size == 1:  # see make_sharded_train_step: pure-DP
-                pred = model.apply(params, x)  # works for any stateless
+                pred = model.apply(fparams, fx)  # works for any stateless
             else:  # model; halo forward only needed when Z is sharded
-                pred = spatial_scenenet_forward(model, params, x, space_axis,
-                                                overlap=overlap)
+                pred = spatial_scenenet_forward(model, fparams, fx,
+                                                space_axis, overlap=overlap)
+            pred = pred.astype(jnp.float32)
             cvx = (model.cvx_coefficients(params)
                    if hasattr(model, "cvx_coefficients") else {})
             geneo = (model.geneo_params_flat(params)
@@ -238,6 +252,7 @@ def make_local_train_step(
     with_grads: bool = False,
     batch_prep: Callable | None = None,
     needs_value_fn: bool = False,
+    precision: str = "f32",
 ) -> Callable:
     """The shard-local train-step body (run inside ``shard_map``) shared
     by :func:`make_sharded_train_step` and the Trainer's cached-epoch
@@ -267,6 +282,16 @@ def make_local_train_step(
     dist_criterion = make_distributed(criterion, axes)
     last = getattr(model, "last_lambda", None)
     stateful = bool(getattr(model, "is_stateful", False))
+    half = precision == "bf16"
+
+    def _cast_half(tree):
+        # bf16 copies of the float leaves inside the loss; the f32 master
+        # params stay outside (same mixed-precision rule as the
+        # single-device Trainer._loss)
+        return jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+            tree)
     if stateful:
         if space_size > 1:
             raise ValueError(
@@ -287,16 +312,21 @@ def make_local_train_step(
 
         def loss_fn(params):
             new_ms = state.model_state
+            fparams, fx = ((_cast_half(params), x.astype(jnp.bfloat16))
+                           if half else (params, x))
             # space size 1: no halo needed — plain apply, so ANY stateless
             # model (quantile ensemble, CNN baseline) trains pure-DP; the
             # SceneNet-specific halo forward only gates space > 1
             if stateful:
-                pred, new_ms = model.apply_train(params, state.model_state, x)
+                pred, new_ms = model.apply_train(fparams, state.model_state,
+                                                 fx)
             elif space_size == 1:
-                pred = model.apply(params, x)
+                pred = model.apply(fparams, fx)
             else:
-                pred = spatial_scenenet_forward(model, params, x, space_axis,
-                                                overlap=overlap)
+                pred = spatial_scenenet_forward(model, fparams, fx,
+                                                space_axis, overlap=overlap)
+            # loss + constraint terms accumulate in f32 on the f32 masters
+            pred = pred.astype(jnp.float32)
             cvx = (model.cvx_coefficients(params)
                    if hasattr(model, "cvx_coefficients") else {})
             geneo = (model.geneo_params_flat(params)
@@ -362,6 +392,7 @@ def make_sharded_train_step(
     with_grads: bool = False,
     compiler_options: dict | None = None,
     needs_value_fn: bool = False,
+    precision: str = "f32",
 ) -> Callable:
     """Full (DP × spatial) train step: returns jit'd
     ``step(state, mstate, x, y) -> (state, mstate, loss)`` where x/y are
@@ -389,7 +420,7 @@ def make_sharded_train_step(
         model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
         space_axis=space_axis, overlap=overlap, with_grads=with_grads,
         batch_prep=batch_prep if space_size == 1 else None,
-        needs_value_fn=needs_value_fn)
+        needs_value_fn=needs_value_fn, precision=precision)
 
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     data_size = mesh.shape[batch_axis]

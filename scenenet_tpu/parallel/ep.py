@@ -104,7 +104,8 @@ def _local_ensemble_forward(model, local_params, x,
 
 
 def _local_quantile_loss(criterion: QuantileLoss, model, params, x, y,
-                         batch_axis: str, model_axis: str, q_local: int):
+                         batch_axis: str, model_axis: str, q_local: int,
+                         half: bool = False):
     """Shard-local contribution to the global quantile loss, built so that
     ``pmean(psum(local, model), data)`` equals the unsharded criterion:
 
@@ -122,7 +123,15 @@ def _local_quantile_loss(criterion: QuantileLoss, model, params, x, y,
     """
     local_p = _local_member_slice(params, model_axis, q_local)
     q_vals = _local_quantile_values(criterion.quantiles, model_axis, q_local)
-    pred = _local_ensemble_forward(model, local_p, x)
+    if half:  # bf16 member forward; f32 masters + f32 loss accumulation
+        fp = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+            local_p)
+        pred = _local_ensemble_forward(model, fp, x.astype(jnp.bfloat16))
+        pred = pred.astype(jnp.float32)
+    else:
+        pred = _local_ensemble_forward(model, local_p, x)
     gt = y
     if gt.ndim == pred.ndim and gt.shape[1] == 1:
         gt = gt[:, 0]
@@ -203,6 +212,7 @@ def make_local_ensemble_train_step(
     batch_prep: Callable | None = None,
     with_grads: bool = False,
     needs_value_fn: bool = False,
+    precision: str = "f32",
 ) -> Callable:
     """The shard-local EP train-step body (run inside ``shard_map``) —
     the ensemble counterpart of :func:`parallel.dp.make_local_train_step`,
@@ -221,7 +231,8 @@ def make_local_ensemble_train_step(
 
         def loss_fn(params):
             return _local_quantile_loss(criterion, model, params, x, y,
-                                        batch_axis, model_axis, q_local)
+                                        batch_axis, model_axis, q_local,
+                                        half=precision == "bf16")
 
         (loss, pred), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -279,6 +290,7 @@ def make_ensemble_train_step(
     with_grads: bool = False,
     compiler_options: dict | None = None,
     needs_value_fn: bool = False,
+    precision: str = "f32",
 ) -> Callable:
     """Full (DP × EP) train step for the quantile ensemble: returns jit'd
     ``step(state, mstate, *batch) -> (state, mstate, loss[, grads])`` —
@@ -297,7 +309,7 @@ def make_ensemble_train_step(
     local_step = make_local_ensemble_train_step(
         model, criterion, tx, mesh, tau=tau, batch_axis=batch_axis,
         model_axis=model_axis, batch_prep=batch_prep, with_grads=with_grads,
-        needs_value_fn=needs_value_fn)
+        needs_value_fn=needs_value_fn, precision=precision)
 
     out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
     sharded_cache: dict = {}
@@ -333,6 +345,7 @@ def make_local_ensemble_eval_step(
     model_axis: str = "model",
     batch_sharded: bool = True,
     with_pred: bool = True,
+    precision: str = "f32",
 ) -> Callable:
     """The shard-local EP eval body: forward on this shard's members +
     globally-assembled loss + psum'd confusion delta. ``batch_sharded``
@@ -347,7 +360,7 @@ def make_local_ensemble_eval_step(
         loss, pred = _local_quantile_loss(
             criterion, model, params, x, y,
             batch_axis if batch_sharded else model_axis,
-            model_axis, q_local)
+            model_axis, q_local, half=precision == "bf16")
         # replicated batch: the local loss already averages the FULL batch
         # (the weight normalization's pmean over the model axis, where
         # everything is replicated, is an identity), so the member psum
@@ -375,6 +388,7 @@ def make_ensemble_eval_step(
     model_axis: str = "model",
     batch_prep: Callable | None = None,
     compiler_options: dict | None = None,
+    precision: str = "f32",
 ) -> Callable:
     """Eval twin of :func:`make_ensemble_train_step` (the contract of
     :func:`parallel.dp.make_sharded_eval_step`): forward + loss +
@@ -394,7 +408,8 @@ def make_ensemble_eval_step(
     def _local_eval(batch_sharded: bool):
         return make_local_ensemble_eval_step(
             model, criterion, mesh, tau=tau, batch_axis=batch_axis,
-            model_axis=model_axis, batch_sharded=batch_sharded)
+            model_axis=model_axis, batch_sharded=batch_sharded,
+            precision=precision)
 
     dp_x = P(batch_axis, None, None, None, None)
     rep_x = P(None, None, None, None, None)

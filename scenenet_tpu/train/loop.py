@@ -285,13 +285,15 @@ class Trainer:
             return make_ensemble_eval_step(
                 self.model, self.criterion, self.mesh, tau=cfg.tau,
                 batch_prep=self.batch_prep,
-                compiler_options=cfg.compiler_options)
+                compiler_options=cfg.compiler_options,
+                precision=cfg.precision)
         from scenenet_tpu.parallel.dp import make_sharded_eval_step
 
         return make_sharded_eval_step(
             self.model, self.criterion, self.mesh, tau=cfg.tau,
             batch_prep=self.batch_prep,
-            compiler_options=cfg.compiler_options)
+            compiler_options=cfg.compiler_options,
+            precision=cfg.precision)
 
     def _check_mesh_supported(self, pure_dp=False, batch_size=None):
         """Shared loud-failure guards for every mesh fit path."""
@@ -312,9 +314,7 @@ class Trainer:
                     f"stateful model {type(self.model).__name__} lacks "
                     "with_bn_sync(axis); cross-shard batch-stats sync is "
                     "required for mesh training")
-        if cfg.precision == "bf16":
-            raise ValueError("precision='bf16' is not supported with mesh "
-                             "training (f32 masters only)")
+
         if pure_dp and self.mesh.shape.get("space", 1) > 1:
             raise ValueError(
                 "cached-epoch mesh training is pure-DP (mesh space must be "
@@ -340,7 +340,7 @@ class Trainer:
 
             local_eval = make_local_ensemble_eval_step(
                 self.model, self.criterion, self.mesh, tau=cfg.tau,
-                with_pred=False)
+                with_pred=False, precision=cfg.precision)
             bspec = P("data", None, None, None, None)
             return shard_map(local_eval, mesh=self.mesh,
                              in_specs=(P(), P(), bspec, bspec),
@@ -349,8 +349,12 @@ class Trainer:
         dist_crit = make_distributed(self.criterion, axes)
         last = getattr(self.model, "last_lambda", None)
 
+        half = cfg.precision == "bf16"
+
         def local_eval(params, mstate, x, y):
-            pred = self.model.apply(params, x)
+            fparams, fx = ((self._cast_half(params), x.astype(jnp.bfloat16))
+                           if half else (params, x))
+            pred = self.model.apply(fparams, fx).astype(jnp.float32)
             cvx = (self.model.cvx_coefficients(params)
                    if hasattr(self.model, "cvx_coefficients") else {})
             geneo = (self.model.geneo_params_flat(params)
@@ -391,7 +395,8 @@ class Trainer:
                 self.model, self.criterion, tx, self.mesh,
                 tau=self.config.tau,
                 batch_prep=self.batch_prep if raw else None,
-                needs_value_fn=needs_vf)
+                needs_value_fn=needs_vf,
+                precision=self.config.precision)
         else:
             from scenenet_tpu.parallel.dp import make_local_train_step
 
@@ -399,7 +404,8 @@ class Trainer:
                 self.model, self.criterion, tx, self.mesh,
                 tau=self.config.tau,
                 batch_prep=self.batch_prep if raw else None,
-                needs_value_fn=needs_vf)
+                needs_value_fn=needs_vf,
+                precision=self.config.precision)
         if raw:  # (pts (B,N,3), labels (B,N), mask (B,N))
             in_specs = (P(), P(), P("data", None, None),
                         P("data", None), P("data", None))
@@ -430,7 +436,7 @@ class Trainer:
                 self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
                 batch_prep=self.batch_prep, with_grads=True,
                 compiler_options=cfg.compiler_options,
-                needs_value_fn=needs_vf)
+                needs_value_fn=needs_vf, precision=cfg.precision)
         if space > 1 and not hasattr(self.model, "synthesize_kernels"):
             raise ValueError(
                 "spatial sharding (mesh space > 1) requires the SceneNet "
@@ -443,7 +449,7 @@ class Trainer:
             self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
             batch_prep=self.batch_prep, with_grads=True,
             compiler_options=cfg.compiler_options,
-            needs_value_fn=needs_vf)
+            needs_value_fn=needs_vf, precision=cfg.precision)
 
     # ---- fit ---------------------------------------------------------------
 

@@ -129,6 +129,25 @@ class TestTrainerMesh:
         with pytest.raises(ValueError, match="not divisible"):
             mt.fit(params, bad)
 
+    def test_bf16_mesh_fit_matches_single_device(self, devices8, tmp_path):
+        """precision=bf16 under the mesh: the shard bodies apply the same
+        mixed-precision rule as the single-device Trainer._loss (bf16
+        forward, f32 masters + f32 loss accumulation)."""
+        batches = _grid_batches(n=2)
+        outs = []
+        for tag, mesh in (("bref", None),
+                          ("bmesh", make_mesh((8, 1), devices=devices8))):
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+            cfg = _cfg(tmp_path, tag, precision="bf16")
+            t = Trainer(net, _criterion(), cfg, mesh=mesh)
+            final, best = t.fit(params, batches, val_loader=batches[:1])
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best))
+        (ref_p, ref_best), (mesh_p, mesh_best) = outs
+        _assert_tree_close(mesh_p, ref_p, rtol=1e-3, atol=1e-5)
+        for k in ("train_loss", "val_loss"):
+            assert mesh_best[k] == pytest.approx(ref_best[k], rel=1e-3), k
+
     def test_lbfgs_mesh_fit_matches_single_device(self, devices8, tmp_path):
         """Linesearch optimizers now run under the mesh: the shard-local
         value_fn computes the GLOBAL (distributed + pmean'd) loss, and
@@ -156,11 +175,6 @@ class TestTrainerMesh:
         net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
         mesh = make_mesh((8, 1), devices=devices8)
         batches = _grid_batches(n=1)
-
-        mt = Trainer(net, _criterion(),
-                     _cfg(tmp_path, "bf16", precision="bf16"), mesh=mesh)
-        with pytest.raises(ValueError, match="bf16"):
-            mt.fit(params, batches)
 
         from scenenet_tpu.models import CnnBaseline
 
