@@ -217,9 +217,9 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         # data axis); non-DP axes are already rejected above — mesh_space
         # by the scenenet-only guard, mesh_ensemble by the quantile-only
         # guard
-        if getattr(cfg, "constrained", "penalty") == "admm":
-            raise ValueError("mesh training is not supported with "
-                             "constrained=admm")
+        if getattr(cfg, "constrained", "penalty") == "admm" and mens > 1:
+            raise ValueError("constrained=admm shards over data/space only "
+                             "(no ensemble axis)")
         if cfg.batch_size % (md * mdcn):
             raise ValueError(f"batch_size {cfg.batch_size} must divide by "
                              f"the data shards ({md * mdcn})")
@@ -449,7 +449,8 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         from scenenet_tpu.train.admm import ADMMConfig, ADMMTrainer
 
         acfg = ADMMConfig(**{**tcfg.__dict__, "admm_rho": cfg.admm_rho})
-        trainer = ADMMTrainer(model, criterion, acfg, batch_prep=batch_prep)
+        trainer = ADMMTrainer(model, criterion, acfg, batch_prep=batch_prep,
+                              mesh=mesh)
         final_params, best = trainer.fit(params, train_loader,
                                          val_loader if len(val_ds) else None)
     elif device_cache and cfg.device_voxelization and \

@@ -70,7 +70,14 @@ class ADMMTrainer:
     """
 
     def __init__(self, model, criterion, config: ADMMConfig, logger=None,
-                 batch_prep=None):
+                 batch_prep=None, mesh=None):
+        """``mesh`` (optional, (data[, space]) axes): the jitted primal
+        step runs shard_map'd — batch over ``data``, optional Z-halo conv
+        over ``space``, pmean'd grads/loss, psum'd confusion counts — the
+        same DDP math as ``Trainer(mesh=...)``. The constraint term and
+        the dual update depend only on the replicated params, so they are
+        shard-invariant; μ stays a traced argument (one compile across all
+        dual updates, mesh or not)."""
         from scenenet_tpu.utils.logging import RunLogger
 
         self.model = model
@@ -79,6 +86,8 @@ class ADMMTrainer:
         self.logger = logger or RunLogger(config.run_dir,
                                           use_wandb=config.use_wandb)
         self.batch_prep = batch_prep
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
         self.history = []
         self._inner: Optional[Trainer] = None
 
@@ -97,28 +106,31 @@ class ADMMTrainer:
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)
         prep = self.batch_prep
 
-        @jax.jit
-        def step(state, mu, mstate: MetricState, *batch):
-            x, y = prep(*batch) if prep else batch
+        if self.mesh is not None:
+            step = self._make_mesh_step(tx, rho, needs_vf)
+        else:
+            @jax.jit
+            def step(state, mu, mstate: MetricState, *batch):
+                x, y = prep(*batch) if prep else batch
 
-            def loss_fn(p):
-                data, pred = self._data_loss(p, x, y)
-                vals = _constraint_values(model, p)
-                return augmented_loss(data, vals, mu, rho), pred
+                def loss_fn(p):
+                    data, pred = self._data_loss(p, x, y)
+                    vals = _constraint_values(model, p)
+                    return augmented_loss(data, vals, mu, rho), pred
 
-            (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            if needs_vf:
-                updates, opt_state = tx.update(
-                    grads, state.opt_state, state.params,
-                    value=loss, grad=grads,
-                    value_fn=lambda p: loss_fn(p)[0])
-            else:
-                updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=new_params,
-                                      opt_state=opt_state)
-            mstate = update_metrics(mstate, pred, y, cfg.tau)
-            return new_state, mstate, loss
+                (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                if needs_vf:
+                    updates, opt_state = tx.update(
+                        grads, state.opt_state, state.params,
+                        value=loss, grad=grads,
+                        value_fn=lambda p: loss_fn(p)[0])
+                else:
+                    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(step=state.step + 1, params=new_params,
+                                          opt_state=opt_state)
+                mstate = update_metrics(mstate, pred, y, cfg.tau)
+                return new_state, mstate, loss
 
         @jax.jit
         def dual_update(params, mu):
@@ -168,12 +180,114 @@ class ADMMTrainer:
         self._ckpt = ckpt
         return state.params, self.best.best
 
+    def _make_mesh_step(self, tx, rho: float, needs_vf: bool):
+        """shard_map'd primal step: ``step(state, mu, mstate, x, y)`` with
+        the batch over ``data`` (and Z over ``space`` when present) — the
+        same collective placement as ``parallel.dp.make_local_train_step``,
+        with the augmented-Lagrangian term added to the distributed data
+        loss. μ rides as a replicated traced argument."""
+        from jax import lax, shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from scenenet_tpu.parallel.dp import make_distributed
+        from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
+        from scenenet_tpu.train.metrics import merge_metric_states
+
+        cfg = self.config
+        model = self.model
+        mesh = self.mesh
+        prep = self.batch_prep
+        space_size = mesh.shape.get("space", 1)
+        axes = tuple(n for n in ("data", "space") if n in mesh.shape)
+        dist_crit = make_distributed(self.criterion, axes)
+
+        def local_step(state, mu, mstate: MetricState, *batch):
+            x, y = prep(*batch) if prep else batch
+
+            def loss_fn(p):
+                if space_size == 1:
+                    pred = model.apply(p, x)
+                else:
+                    pred = spatial_scenenet_forward(model, p, x, "space")
+                data = dist_crit(pred, y, {}, {}, None)
+                vals = _constraint_values(model, p)
+                # the constraint term depends only on the replicated
+                # params — identical on every shard, so the grad pmean
+                # below preserves it exactly
+                return augmented_loss(data, vals, mu, rho), pred
+
+            (loss, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = lax.pmean(grads, axes)
+            loss = lax.pmean(loss, axes)
+            if needs_vf:
+                # identity pmean on the input: grad(value_fn) is the
+                # GLOBAL gradient on every shard, keeping the zoom
+                # linesearch in SPMD lockstep (see
+                # parallel.dp.make_local_train_step)
+                def value_fn(p):
+                    p = jax.tree.map(lambda a: lax.pmean(a, axes), p)
+                    return lax.pmean(loss_fn(p)[0], axes)
+
+                updates, opt_state = tx.update(
+                    grads, state.opt_state, state.params,
+                    value=loss, grad=grads, value_fn=value_fn)
+            else:
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      opt_state=opt_state)
+            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+            delta = update_metrics(zero, pred, y, cfg.tau)
+            delta = MetricState(*(lax.psum(v, axes) for v in delta))
+            return new_state, merge_metric_states(mstate, delta), loss
+
+        space = "space" if "space" in mesh.shape else None
+        bspec = P("data", None, space, None, None)
+        if prep is not None:
+            raw_cache: dict = {}
+
+            def step(state, mu, mstate, *batch):
+                batch = tuple(jnp.asarray(b) for b in batch)
+                key = tuple(b.ndim for b in batch)
+                if key not in raw_cache:
+                    specs = tuple(P("data", *([None] * (b.ndim - 1)))
+                                  for b in batch)
+                    raw_cache[key] = jax.jit(shard_map(
+                        local_step, mesh=mesh,
+                        in_specs=(P(), P(), P()) + specs,
+                        out_specs=(P(), P(), P()), check_vma=False))
+                placed = tuple(jax.device_put(b, NamedSharding(
+                    mesh, P("data", *([None] * (b.ndim - 1)))))
+                    for b in batch)
+                return raw_cache[key](state, mu, mstate, *placed)
+
+            return step
+
+        jit_step = jax.jit(shard_map(
+            local_step, mesh=mesh, in_specs=(P(), P(), P(), bspec, bspec),
+            out_specs=(P(), P(), P()), check_vma=False))
+        sharding = NamedSharding(mesh, bspec)
+
+        def step(state, mu, mstate, x, y):
+            if x.shape[0] % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by mesh 'data' axis "
+                    f"({mesh.shape['data']})")
+            x = jax.device_put(jnp.asarray(x), sharding)
+            y = jax.device_put(jnp.asarray(y), sharding)
+            return jit_step(state, mu, mstate, x, y)
+
+        return step
+
     # post-fit operations run through a plain Trainer on the data criterion
     def _plain(self) -> Trainer:
         if self._inner is None:
             self._inner = Trainer(self.model, self.criterion, self.config,
                                   logger=self.logger,
-                                  batch_prep=self.batch_prep)
+                                  batch_prep=self.batch_prep,
+                                  mesh=self.mesh)
         return self._inner
 
     def evaluate(self, params, loader, prefix="test"):

@@ -118,3 +118,62 @@ class TestADMMValAndCheckpoints:
         assert os.path.exists(tmp_path / "c" / "last.npz")
         restored = trainer.restore_best("val_loss", final)
         assert jax.tree.structure(restored) == jax.tree.structure(final)
+
+
+class TestADMMMesh:
+    """ADMMTrainer(mesh=...): the shard_map'd primal step (distributed
+    data loss + replicated constraint term) must match the single-device
+    ADMM fit; μ stays a traced argument (one compile across dual updates)."""
+
+    def _batches8(self, n=2, seed=0):
+        rng = np.random.default_rng(seed)
+        return [
+            ((rng.random((8, 1, 16, 12, 12)) > 0.9).astype(np.float32),
+             (rng.random((8, 1, 16, 12, 12)) > 0.97).astype(np.float32))
+            for _ in range(n)
+        ]
+
+    def test_mesh_fit_matches_single_device(self, tmp_path):
+        import jax
+
+        from scenenet_tpu.parallel import make_mesh
+
+        outs = []
+        for tag, mesh in (("aref", None),
+                          ("amesh", make_mesh((4, 2))),
+                          ("adp", make_mesh((8, 1)))):
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+            cfg = ADMMConfig(max_epochs=3, admm_rho=5.0, optimizer="adam",
+                             learning_rate=5e-2,
+                             checkpoint_dir=str(tmp_path / f"c{tag}"),
+                             run_dir=str(tmp_path / f"r{tag}"),
+                             log_gradients=False, early_stop_metric=None)
+            t = ADMMTrainer(net, WeightedMSE.create(), cfg, mesh=mesh)
+            final, best = t.fit(params, self._batches8())
+            assert np.isfinite(best["train_loss"])
+            outs.append((final, best, t.history))
+        (ref_p, ref_best, ref_hist) = outs[0]
+        for final, best, hist in outs[1:]:
+            for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(ref_p)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=5e-4, atol=1e-6)
+            np.testing.assert_allclose(best["train_loss"],
+                                       ref_best["train_loss"], rtol=3e-4)
+            np.testing.assert_allclose(hist[-1]["max_violation"],
+                                       ref_hist[-1]["max_violation"],
+                                       rtol=1e-3, atol=1e-7)
+
+    def test_mesh_lbfgs_admm(self, tmp_path):
+        """The admm_config.yml combination (LBFGS primal) under a mesh."""
+        from scenenet_tpu.parallel import make_mesh
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+        cfg = ADMMConfig(max_epochs=2, admm_rho=2.0, optimizer="lbfgs",
+                         learning_rate=1e-1,
+                         checkpoint_dir=str(tmp_path / "cl"),
+                         run_dir=str(tmp_path / "rl"),
+                         log_gradients=False, early_stop_metric=None)
+        t = ADMMTrainer(net, WeightedMSE.create(), cfg,
+                        mesh=make_mesh((8, 1)))
+        final, best = t.fit(params, self._batches8())
+        assert np.isfinite(best["train_loss"])
