@@ -33,6 +33,52 @@ from scenenet_tpu.train.metrics import (
 from scenenet_tpu.train.state import TrainState
 
 
+def cast_half(tree):
+    """bf16 copies of the float leaves (f32 masters stay outside) — THE
+    mixed-precision cast rule, shared by the single-device Trainer and
+    every mesh shard body so the paths cannot drift."""
+    return jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16)
+        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
+        tree)
+
+
+def linesearch_value_fn(loss_fn, axes: Tuple[str, ...],
+                        reduce_loss: "Callable | None" = None):
+    """``value_fn`` for linesearch optimizers (lbfgs) inside shard_map.
+
+    Two load-bearing properties (see the zoom-deadlock note in
+    :func:`make_local_train_step`): the VALUE is the global loss
+    (``reduce_loss``, default pmean over ``axes``), and the per-shard
+    GRADIENT is the GLOBAL gradient — the identity pmean on the
+    (replicated) input, whose transpose all-reduces the cotangent. Without
+    the latter each shard's linesearch sees its shard-local slope, the
+    while_loop trip counts diverge, and the collectives inside deadlock
+    (measured: 40 s rendezvous-timeout SIGABRT on the 8-device CPU mesh).
+    """
+    if reduce_loss is None:
+        def reduce_loss(l):
+            return lax.pmean(l, axes)
+
+    def value_fn(p):
+        p = jax.tree.map(lambda a: lax.pmean(a, axes), p)
+        return reduce_loss(loss_fn(p)[0])
+
+    return value_fn
+
+
+def psum_confusion_delta(mstate: MetricState, pred, y, tau: float,
+                         axes: Tuple[str, ...]) -> MetricState:
+    """Merge THIS batch's globally-psum'd confusion delta into the carried
+    (already-global) state — the overflow-safe two-limb merge; a raw leaf
+    add would overflow the lo limbs over many batches."""
+    zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
+    delta = update_metrics(zero, pred, y, tau)
+    if axes:
+        delta = MetricState(*(lax.psum(v, axes) for v in delta))
+    return merge_metric_states(mstate, delta)
+
+
 def make_distributed(criterion: Any, axes: Tuple[str, ...]) -> Any:
     """Recursively set ``axis_names`` on a (frozen dataclass) criterion and
     its nested sub-criteria so global sums/means run over the mesh."""
@@ -160,15 +206,6 @@ def make_sharded_eval_step(
         space_axis = None
     stateful = bool(getattr(model, "is_stateful", False))
     half = precision == "bf16"
-
-    def _cast_half(tree):
-        # bf16 copies of the float leaves inside the loss; the f32 master
-        # params stay outside (same mixed-precision rule as the
-        # single-device Trainer._loss)
-        return jax.tree.map(
-            lambda v: v.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
-            tree)
     if stateful and space_size > 1:
         raise ValueError(
             "stateful models shard over the data axis only "
@@ -178,7 +215,7 @@ def make_sharded_eval_step(
         dist_criterion = make_distributed(criterion, axes)
 
         def local_eval(params, model_state, mstate, x, y):
-            fparams, fx = ((_cast_half(params), x.astype(jnp.bfloat16))
+            fparams, fx = ((cast_half(params), x.astype(jnp.bfloat16))
                            if half else (params, x))
             if stateful:  # running stats, replicated — no sync at eval
                 pred = model.apply_eval(fparams, model_state, fx)
@@ -283,15 +320,6 @@ def make_local_train_step(
     last = getattr(model, "last_lambda", None)
     stateful = bool(getattr(model, "is_stateful", False))
     half = precision == "bf16"
-
-    def _cast_half(tree):
-        # bf16 copies of the float leaves inside the loss; the f32 master
-        # params stay outside (same mixed-precision rule as the
-        # single-device Trainer._loss)
-        return jax.tree.map(
-            lambda v: v.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
-            tree)
     if stateful:
         if space_size > 1:
             raise ValueError(
@@ -312,7 +340,7 @@ def make_local_train_step(
 
         def loss_fn(params):
             new_ms = state.model_state
-            fparams, fx = ((_cast_half(params), x.astype(jnp.bfloat16))
+            fparams, fx = ((cast_half(params), x.astype(jnp.bfloat16))
                            if half else (params, x))
             # space size 1: no halo needed — plain apply, so ANY stateless
             # model (quantile ensemble, CNN baseline) trains pure-DP; the
@@ -341,37 +369,17 @@ def make_local_train_step(
         grads = lax.pmean(grads, axes)
         loss = lax.pmean(loss, axes)
         if needs_value_fn:
-            # linesearch optimizers (lbfgs) re-evaluate the loss AND its
-            # slope along the search direction inside tx.update. Two
-            # requirements: (1) the VALUE must be the global loss — the
-            # trailing pmean; (2) grad(value_fn) per shard must be the
-            # GLOBAL gradient, not the shard-local one — the identity
-            # pmean on the INPUT does that (p is replicated, so the
-            # forward is unchanged, but its transpose all-reduces the
-            # cotangent). Without (2) every shard's zoom while_loop sees a
-            # different slope, trip counts diverge, and the collectives
-            # inside deadlock (measured: rendezvous timeout SIGABRT on the
-            # 8-device CPU mesh at step 1).
-            def value_fn(p):
-                p = jax.tree.map(lambda a: lax.pmean(a, axes), p)
-                return lax.pmean(loss_fn(p)[0], axes)
-
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.params,
-                value=loss, grad=grads, value_fn=value_fn)
+                value=loss, grad=grads,
+                value_fn=linesearch_value_fn(loss_fn, axes))
         else:
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, model_state=new_ms)
-        # accumulate only this batch's (globally psum'd) confusion delta —
-        # the carried mstate is already replicated/global; merge with carry
-        # (a raw leaf add would overflow the lo limbs over many batches)
-        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-        delta = update_metrics(zero, pred, y, tau)
-        delta = MetricState(*(lax.psum(v, axes) for v in delta))
-        mstate = merge_metric_states(mstate, delta)
+        mstate = psum_confusion_delta(mstate, pred, y, tau, axes)
         if with_grads:
             return new_state, mstate, loss, grads
         return new_state, mstate, loss

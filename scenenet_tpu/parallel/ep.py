@@ -124,11 +124,10 @@ def _local_quantile_loss(criterion: QuantileLoss, model, params, x, y,
     local_p = _local_member_slice(params, model_axis, q_local)
     q_vals = _local_quantile_values(criterion.quantiles, model_axis, q_local)
     if half:  # bf16 member forward; f32 masters + f32 loss accumulation
-        fp = jax.tree.map(
-            lambda v: v.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
-            local_p)
-        pred = _local_ensemble_forward(model, fp, x.astype(jnp.bfloat16))
+        from scenenet_tpu.parallel.dp import cast_half
+
+        pred = _local_ensemble_forward(model, cast_half(local_p),
+                                       x.astype(jnp.bfloat16))
         pred = pred.astype(jnp.float32)
     else:
         pred = _local_ensemble_forward(model, local_p, x)
@@ -241,19 +240,18 @@ def make_local_ensemble_train_step(
         grads = lax.pmean(lax.psum(grads, model_axis), batch_axis)
         loss = lax.pmean(lax.psum(loss, model_axis), batch_axis)
         if needs_value_fn:
-            # linesearch (lbfgs): the identity pmean on the input makes
-            # grad(value_fn) the GLOBAL gradient on every shard (see
-            # parallel.dp.make_local_train_step). The transpose algebra
+            # linesearch (lbfgs): identity-pmean value_fn (see
+            # parallel.dp.linesearch_value_fn). The transpose algebra
             # composes with the member-psum: the psum's transpose scales
             # each shard's cotangent by the model-axis size, and the
             # identity pmean over BOTH axes then yields exactly
             # psum_model(pmean_data(local grads)) — the assembled gradient
-            def value_fn(p):
-                p = jax.tree.map(
-                    lambda a: lax.pmean(a, (batch_axis, model_axis)), p)
-                return lax.pmean(lax.psum(loss_fn(p)[0], model_axis),
-                                 batch_axis)
+            from scenenet_tpu.parallel.dp import linesearch_value_fn
 
+            value_fn = linesearch_value_fn(
+                loss_fn, (batch_axis, model_axis),
+                reduce_loss=lambda l: lax.pmean(
+                    lax.psum(l, model_axis), batch_axis))
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.params,
                 value=loss, grad=grads, value_fn=value_fn)
@@ -266,11 +264,10 @@ def make_local_ensemble_train_step(
         # confusion counts: every member's voxels score against the GT
         # (update_metrics broadcasts (B, Q_local, …) vs (B, 1, …)); psum
         # over both axes = the single-device all-members delta
-        zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-        delta = update_metrics(zero, pred, y, tau)
-        delta = MetricState(
-            *(lax.psum(v, (batch_axis, model_axis)) for v in delta))
-        mstate = merge_metric_states(mstate, delta)
+        from scenenet_tpu.parallel.dp import psum_confusion_delta
+
+        mstate = psum_confusion_delta(mstate, pred, y, tau,
+                                      (batch_axis, model_axis))
         if with_grads:
             return new_state, mstate, loss, grads
         return new_state, mstate, loss

@@ -189,17 +189,34 @@ class ADMMTrainer:
         from jax import lax, shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from scenenet_tpu.parallel.dp import make_distributed
+        from scenenet_tpu.parallel.dp import (
+            linesearch_value_fn, make_distributed, psum_confusion_delta,
+        )
         from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
-        from scenenet_tpu.train.metrics import merge_metric_states
 
         cfg = self.config
         model = self.model
         mesh = self.mesh
-        prep = self.batch_prep
         space_size = mesh.shape.get("space", 1)
         axes = tuple(n for n in ("data", "space") if n in mesh.shape)
         dist_crit = make_distributed(self.criterion, axes)
+        # prep runs shard-locally only on a pure-DP mesh; with a space axis
+        # the prep's full-Z grids cannot be produced shard-locally (a
+        # data-only sharding would replicate the grid over space and the
+        # halo conv would pull wraparound rows from the replica — inexact),
+        # so it runs once under plain jit and the grids are resharded —
+        # the same rule as parallel.dp.make_sharded_train_step
+        prep = self.batch_prep if space_size == 1 else None
+        prep_outside = (jax.jit(self.batch_prep)
+                        if (self.batch_prep is not None and space_size > 1)
+                        else None)
+
+        def _check_divisible(b):
+            if b % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch {b} not divisible by mesh 'data' axis "
+                    f"({mesh.shape['data']}); use drop_last or a divisible "
+                    "batch size")
 
         def local_step(state, mu, mstate: MetricState, *batch):
             x, y = prep(*batch) if prep else batch
@@ -221,27 +238,21 @@ class ADMMTrainer:
             grads = lax.pmean(grads, axes)
             loss = lax.pmean(loss, axes)
             if needs_vf:
-                # identity pmean on the input: grad(value_fn) is the
-                # GLOBAL gradient on every shard, keeping the zoom
-                # linesearch in SPMD lockstep (see
-                # parallel.dp.make_local_train_step)
-                def value_fn(p):
-                    p = jax.tree.map(lambda a: lax.pmean(a, axes), p)
-                    return lax.pmean(loss_fn(p)[0], axes)
-
+                # identity-pmean value_fn: global value AND global
+                # per-shard gradient (zoom-linesearch SPMD lockstep) —
+                # one shared implementation
                 updates, opt_state = tx.update(
                     grads, state.opt_state, state.params,
-                    value=loss, grad=grads, value_fn=value_fn)
+                    value=loss, grad=grads,
+                    value_fn=linesearch_value_fn(loss_fn, axes))
             else:
                 updates, opt_state = tx.update(grads, state.opt_state,
                                                state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1, params=new_params,
                                       opt_state=opt_state)
-            zero = MetricState(*(jnp.zeros_like(v) for v in mstate))
-            delta = update_metrics(zero, pred, y, cfg.tau)
-            delta = MetricState(*(lax.psum(v, axes) for v in delta))
-            return new_state, merge_metric_states(mstate, delta), loss
+            mstate = psum_confusion_delta(mstate, pred, y, cfg.tau, axes)
+            return new_state, mstate, loss
 
         space = "space" if "space" in mesh.shape else None
         bspec = P("data", None, space, None, None)
@@ -250,6 +261,7 @@ class ADMMTrainer:
 
             def step(state, mu, mstate, *batch):
                 batch = tuple(jnp.asarray(b) for b in batch)
+                _check_divisible(batch[0].shape[0])
                 key = tuple(b.ndim for b in batch)
                 if key not in raw_cache:
                     specs = tuple(P("data", *([None] * (b.ndim - 1)))
@@ -270,13 +282,15 @@ class ADMMTrainer:
             out_specs=(P(), P(), P()), check_vma=False))
         sharding = NamedSharding(mesh, bspec)
 
-        def step(state, mu, mstate, x, y):
-            if x.shape[0] % mesh.shape["data"]:
-                raise ValueError(
-                    f"batch {x.shape[0]} not divisible by mesh 'data' axis "
-                    f"({mesh.shape['data']})")
-            x = jax.device_put(jnp.asarray(x), sharding)
-            y = jax.device_put(jnp.asarray(y), sharding)
+        def step(state, mu, mstate, *batch):
+            if prep_outside is not None:  # raw batch + space axis: prep
+                x, y = prep_outside(*batch)  # under plain jit, then reshard
+            else:
+                x, y = batch
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            _check_divisible(x.shape[0])
+            x = jax.device_put(x, sharding)
+            y = jax.device_put(y, sharding)
             return jit_step(state, mu, mstate, x, y)
 
         return step

@@ -190,12 +190,12 @@ class Trainer:
         return bool(getattr(self.model, "is_stateful", False))
 
     def _cast_half(self, tree):
-        """bf16 copies of the float leaves (f32 masters stay outside)."""
-        return jax.tree.map(
-            lambda v: v.astype(jnp.bfloat16)
-            if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v,
-            tree,
-        )
+        """bf16 copies of the float leaves (f32 masters stay outside) —
+        the shared rule (one implementation for the single-device and
+        every mesh path)."""
+        from scenenet_tpu.parallel.dp import cast_half
+
+        return cast_half(tree)
 
     def _loss(self, params, x, y, model_state=None, train=True):
         new_ms = model_state
@@ -297,7 +297,6 @@ class Trainer:
 
     def _check_mesh_supported(self, pure_dp=False, batch_size=None):
         """Shared loud-failure guards for every mesh fit path."""
-        cfg = self.config
         if self._stateful:
             if pure_dp:
                 raise ValueError(

@@ -177,3 +177,42 @@ class TestADMMMesh:
                         mesh=make_mesh((8, 1)))
         final, best = t.fit(params, self._batches8())
         assert np.isfinite(best["train_loss"])
+
+    def test_mesh_prep_with_space_axis_matches(self, tmp_path):
+        """Raw point batches + a space axis: the prep must run OUTSIDE
+        shard_map (a data-only sharding would replicate the full-Z grid
+        over space and the halo conv would pull wraparound rows — caught
+        as a 1.5e-3 loss deviation before the fix)."""
+        import jax
+
+        from scenenet_tpu.parallel import make_mesh
+        from scenenet_tpu.train import make_device_voxelize_prep
+
+        prep = make_device_voxelize_prep((16, 12, 12), (15,),
+                                         use_indices=False)
+        rng = np.random.default_rng(7)
+        batches = []
+        for _ in range(2):
+            pts = rng.uniform([0, 0, 0], [30, 30, 60], (8, 900, 3)).astype(np.float32)
+            labels = rng.choice([1, 2, 15], size=(8, 900)).astype(np.int32)
+            mask = np.ones((8, 900), bool)
+            batches.append((pts, labels, mask))
+
+        outs = []
+        for tag, mesh in (("pref", None), ("pmesh", make_mesh((4, 2)))):
+            net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+            cfg = ADMMConfig(max_epochs=2, admm_rho=5.0, optimizer="adam",
+                             learning_rate=5e-2,
+                             checkpoint_dir=str(tmp_path / f"c{tag}"),
+                             run_dir=str(tmp_path / f"r{tag}"),
+                             log_gradients=False, early_stop_metric=None)
+            t = ADMMTrainer(net, WeightedMSE.create(), cfg, batch_prep=prep,
+                            mesh=mesh)
+            final, best = t.fit(params, batches)
+            outs.append((final, best))
+        (ref_p, ref_best), (mesh_p, mesh_best) = outs
+        for a, b in zip(jax.tree.leaves(mesh_p), jax.tree.leaves(ref_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6)
+        np.testing.assert_allclose(mesh_best["train_loss"],
+                                   ref_best["train_loss"], rtol=3e-4)
