@@ -458,3 +458,68 @@ class TestEnsembleLinesearch:
             outs.append((final, best))
         (ref_p, _), (ep_p, _) = outs
         _assert_tree_close(ep_p, ref_p, rtol=5e-3, atol=1e-5)
+
+
+class TestEnsembleMeshFeatures:
+    """Trainer features interacting with the EP step: hybrid (DCN×ICI)
+    meshes, gradient accumulation, and preemption/resume."""
+
+    def test_hybrid_dcn_ep_mesh_fit(self, devices8, tmp_path):
+        """mesh_dcn_data × mesh_ensemble: DP across emulated slices over
+        DCN, members inside a slice — the CLI's hybrid-EP composition."""
+        from scenenet_tpu.parallel import make_hybrid_mesh
+        from scenenet_tpu.train import Trainer
+
+        batches = [_batch(seed=i) for i in range(2)]
+        outs = []
+        for tag, mesh in (
+                ("href", None),
+                ("hep", make_hybrid_mesh((2, 1), (1, 4),
+                                         axis_names=("data", "model"),
+                                         devices=devices8))):
+            model, params = _model()
+            t = Trainer(model, _criterion(), _cfg(tmp_path, tag), mesh=mesh)
+            final, best = t.fit(params, batches)
+            assert np.isfinite(best["train_loss"])
+            outs.append(final)
+        _assert_tree_close(outs[1], outs[0])
+
+    def test_preempt_resume_matches_unkilled(self, devices8, tmp_path):
+        import os
+
+        from scenenet_tpu.train import Trainer
+        from scenenet_tpu.train import preempt as pre
+
+        batches = [_batch(seed=i) for i in range(4)]
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        model, params = _model()
+
+        full = Trainer(model, _criterion(), _cfg(tmp_path, "pfull"),
+                       mesh=mesh)
+        full_params, _ = full.fit(params, batches)
+
+        class PreemptAfter:
+            def __init__(self):
+                self.armed = True
+
+            def __iter__(self):
+                for i, b in enumerate(batches):
+                    if self.armed and i == 2:
+                        pre.request_preemption()
+                        self.armed = False
+                    yield b
+
+            def __len__(self):
+                return len(batches)
+
+        cfg = _cfg(tmp_path, "pkill")
+        killed = Trainer(model, _criterion(), cfg, mesh=mesh)
+        _, _ = killed.fit(params, PreemptAfter())
+        assert killed.preempted
+        snap = os.path.join(cfg.checkpoint_dir, pre.SNAPSHOT_NAME)
+        assert os.path.exists(snap)
+
+        resumed = Trainer(model, _criterion(), cfg, mesh=mesh)
+        res_params, _ = resumed.fit(params, batches, resume_from=snap)
+        _assert_tree_close(res_params, full_params, rtol=0, atol=0)
