@@ -74,3 +74,59 @@ class TestServe:
             np.asarray(model2.effective_lambdas(params2)), atol=1e-6)
         assert float(params2["geneo"]["cy_0"]["radius"]) == pytest.approx(
             float(params["geneo"]["cy_0"]["radius"]))
+
+
+class TestServeQuantile:
+    @pytest.fixture(scope="class")
+    def qserver(self):
+        from scenenet_tpu.cli.serve import _Pipeline, make_handler
+
+        pipeline = _Pipeline(None, grid=(16, 16, 16), max_points=4096,
+                             model="quantile",
+                             quantiles=(0.1, 0.3, 0.5, 0.9),
+                             mesh_ensemble=4)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline))
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_healthz(self, qserver):
+        with urllib.request.urlopen(f"{qserver}/healthz") as r:
+            info = json.loads(r.read())
+        assert info["model"] == "quantile"
+        assert info["quantiles"] == [0.1, 0.3, 0.5, 0.9]
+        assert info["mesh_ensemble"] == 4
+
+    def test_predict_quantiles_and_uncertainty(self, qserver):
+        rng = np.random.default_rng(0)
+        points = rng.uniform(0, 30, (2000, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, points=points, tau=np.float32(0.5))
+        req = urllib.request.Request(f"{qserver}/predict",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert out["point_quantiles"].shape == (4, 2000)
+        assert out["point_probs"].shape == (2000,)
+        assert out["uncertainty"].shape == (2000,)
+        assert (out["uncertainty"] >= 0).all()
+        assert out["voxel_pred"].shape == (4, 16, 16, 16)
+        np.testing.assert_array_equal(out["point_probs"],
+                                      out["point_quantiles"][2])  # q=0.5
+
+    def test_ep_matches_unsharded_pipeline(self):
+        """The mesh_ensemble=4 pipeline must produce the same quantile
+        probabilities as the single-device ensemble pipeline."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        rng = np.random.default_rng(3)
+        points = rng.uniform(0, 25, (1500, 3)).astype(np.float32)
+        kw = dict(grid=(16, 16, 16), max_points=4096, model="quantile",
+                  quantiles=(0.1, 0.3, 0.5, 0.9))
+        ref = _Pipeline(None, **kw)
+        ep = _Pipeline(None, mesh_ensemble=4, **kw)
+        ref_pred, ref_probs = ref.predict(points)
+        ep_pred, ep_probs = ep.predict(points)
+        np.testing.assert_allclose(ep_pred, ref_pred, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ep_probs, ref_probs, rtol=1e-5, atol=1e-6)
