@@ -1,0 +1,232 @@
+"""Real-chip smoke + overhead receipt for the sharded program classes.
+
+Every mesh-training feature is exactness-verified on the virtual
+8-device CPU mesh (tests/test_mesh_training.py, test_parallel.py,
+test_ensemble_parallel.py) and the real 2-process harness — but those
+lower through the CPU backend. This benchmark proves the SAME
+shard_map programs lower and execute on the real TPU backend (Mosaic
+Pallas kernels, psum/pmean collectives, and the fused on-device
+voxelization all INSIDE shard_map), the one lowering path a CPU mesh
+cannot exercise. A single tunneled chip can only host a 1-device mesh,
+so multi-device execution stays CPU/2-process-verified; what this adds
+is (a) the TPU lowering receipt and (b) the measured shard_map wrapper
+overhead vs the identical plain-jit step.
+
+Run on the TPU host:  python -m benchmarks.mesh_smoke_tpu
+
+Timing is tunnel-honest (dependency-chained steps + final scalar
+fetch — see scenenet_tpu/train/tune.py:measure_train_step_ms).
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from scenenet_tpu.losses import QuantileLoss, resolve_criterion
+from scenenet_tpu.models import QuantileSceneNet, SceneNet
+from scenenet_tpu.parallel import make_mesh
+from scenenet_tpu.parallel.dp import (
+    make_sharded_eval_step,
+    make_sharded_train_step,
+)
+from scenenet_tpu.parallel.ep import (
+    make_ensemble_eval_step,
+    make_ensemble_train_step,
+)
+from scenenet_tpu.train import make_device_voxelize_prep
+from scenenet_tpu.train.metrics import (
+    init_metric_state,
+    metric_counts,
+    update_metrics,
+)
+from scenenet_tpu.train.state import create_train_state
+
+BATCH, GRID, NPTS = 16, (64, 64, 64), 16384
+
+
+def _criterion():
+    return resolve_criterion("geneo_tversky")(
+        weight_alpha=1, weight_epsilon=0.1, mse_weight=1, convex_weight=5,
+        tversky_alpha=2, tversky_beta=1, tversky_smooth=1e-6, focal_gamma=4,
+    )
+
+
+def _grids(b=BATCH, z=64, xy=64, seed=3):
+    rng = np.random.default_rng(seed)
+    x = (rng.random((b, 1, z, xy, xy)) > 0.97).astype(np.float32)
+    y = (rng.random((b, 1, z, xy, xy)) > 0.995).astype(np.float32)
+    return x, y
+
+
+def _raw(b=BATCH, n=NPTS, seed=4):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([0, 0, 0], [30, 30, 60], (b, n, 3)).astype(np.float32)
+    labels = rng.choice([1, 2, 15], size=(b, n)).astype(np.int32)
+    mask = np.ones((b, n), bool)
+    return pts, labels, mask
+
+
+def _time_chained(step, state, mstate, batch, iters=8):
+    """ms/step with a dependency chain through TrainState + loss fetch."""
+    s, m, loss = step(state, mstate, *batch)[:3]  # compile + warm
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, m, loss = step(s, m, *batch)[:3]
+    float(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _plain_train_step(net, crit, tx, batch_prep=None):
+    """The Trainer's plain (mesh=None) train step, built identically
+    (train/loop.py:_build_steps) so sharded-vs-plain is apples-to-apples."""
+    last = getattr(net, "last_lambda", None)
+
+    @jax.jit
+    def step(state, mstate, *batch):
+        x, y = batch_prep(*batch) if batch_prep is not None else batch
+
+        def loss_fn(p):
+            pred = net.apply(p, x)
+            return crit(pred, y, net.cvx_coefficients(p),
+                        net.geneo_params_flat(p), last), pred
+
+        (loss, pred), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        import optax
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=opt_state)
+        mstate = update_metrics(mstate, pred, y, 0.65)
+        return new_state, mstate, loss
+
+    return step
+
+
+def _report(name, sharded_ms, plain_ms, loss_s, loss_p, counts_s, counts_p):
+    ok = (abs(loss_s - loss_p) <= 1e-4 * max(1.0, abs(loss_p))
+          and counts_s == counts_p)
+    print(f"[{name}] sharded {sharded_ms:6.2f} ms | plain {plain_ms:6.2f} ms "
+          f"| overhead {sharded_ms - plain_ms:+5.2f} ms "
+          f"({(sharded_ms / plain_ms - 1) * 100:+4.1f}%) | "
+          f"loss Δ {abs(loss_s - loss_p):.2e} | counts {'==' if counts_s == counts_p else '!='} "
+          f"| {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        raise SystemExit(f"{name}: sharded != plain "
+                         f"({loss_s} vs {loss_p}; {counts_s} vs {counts_p})")
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        print("WARNING: not on TPU — CPU shakeout only, timings meaningless")
+    backend = "pallas" if on_tpu else "xla"
+    dev = jax.devices()[:1]
+    print(f"devices: {jax.devices()} — 1-device mesh smoke, "
+          f"conv backend={backend}")
+
+    net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0,
+                                  backend=backend)
+    crit = _criterion()
+
+    # ---- DP sharded train step, grid path -------------------------------
+    mesh = make_mesh((1, 1), devices=dev)  # (data, space)
+    x, y = _grids()
+    state, tx = create_train_state(params, "sgd", 1e-2,
+                                   net.trainable_mask(params))
+    sharded = make_sharded_train_step(net, crit, tx, mesh)
+    plain = _plain_train_step(net, crit, tx)
+
+    s_state, s_m, s_loss = sharded(state, init_metric_state(), x, y)
+    p_state, p_m, p_loss = plain(state, init_metric_state(),
+                                 jnp.asarray(x), jnp.asarray(y))
+    # pre-place on the mesh sharding so the timed loop measures the
+    # sharded COMPUTE, not a per-step 134 MB host→device tunnel transfer
+    # (the step's internal device_put is a no-op on matching sharding)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bspec = NamedSharding(mesh, P("data", None, "space", None, None))
+    xs, ys = jax.device_put(x, bspec), jax.device_put(y, bspec)
+    ms_s = _time_chained(sharded, state, init_metric_state(), (xs, ys))
+    ms_p = _time_chained(plain, state, init_metric_state(),
+                         (jnp.asarray(x), jnp.asarray(y)))
+    _report("dp grid 64³ b16", ms_s, ms_p, float(s_loss), float(p_loss),
+            metric_counts(s_m), metric_counts(p_m))
+
+    # ---- DP raw-batch path: device voxelization inside shard_map --------
+    prep = make_device_voxelize_prep(GRID, keep_labels=(15,))
+    raw = _raw()
+    sharded_raw = make_sharded_train_step(net, crit, tx, mesh,
+                                          batch_prep=prep)
+    plain_raw = _plain_train_step(net, crit, tx, batch_prep=prep)
+    s_state, s_m, s_loss = sharded_raw(state, init_metric_state(), *raw)
+    p_state, p_m, p_loss = plain_raw(state, init_metric_state(),
+                                     *(jnp.asarray(a) for a in raw))
+    raw_placed = tuple(
+        jax.device_put(a, NamedSharding(
+            mesh, P("data", *([None] * (a.ndim - 1))))) for a in raw)
+    ms_s = _time_chained(sharded_raw, state, init_metric_state(), raw_placed)
+    ms_p = _time_chained(plain_raw, state, init_metric_state(),
+                         tuple(jnp.asarray(a) for a in raw))
+    _report("dp raw→voxelize 64³ b16", ms_s, ms_p, float(s_loss),
+            float(p_loss), metric_counts(s_m), metric_counts(p_m))
+
+    # ---- sharded eval twin ----------------------------------------------
+    ev = make_sharded_eval_step(net, crit, mesh, tau=0.65)
+    m_s, l_s, _ = ev(state.params, None, init_metric_state(),
+                     jnp.asarray(x), jnp.asarray(y))
+    pred = net.apply(state.params, jnp.asarray(x))
+    l_p = crit(pred, jnp.asarray(y), net.cvx_coefficients(state.params),
+               net.geneo_params_flat(state.params), net.last_lambda)
+    m_p = update_metrics(init_metric_state(), pred, jnp.asarray(y), 0.65)
+    assert metric_counts(m_s) == metric_counts(m_p), "eval counts mismatch"
+    np.testing.assert_allclose(float(l_s), float(l_p), rtol=1e-4)
+    print(f"[sharded eval 64³ b16] loss Δ {abs(float(l_s) - float(l_p)):.2e} "
+          f"| counts == | OK")
+
+    # ---- EP (ensemble-parallel) train + eval on the model axis ----------
+    qmesh = make_mesh((1, 1), axis_names=("data", "model"), devices=dev)
+    qnet, qparams = QuantileSceneNet.create(
+        kernel_size=(9, 5, 5), quantiles=(0.1, 0.5, 0.9), seed=0,
+        backend=backend)
+    qcrit = QuantileLoss.create(quantiles=(0.1, 0.5, 0.9), weight_alpha=1,
+                                weight_epsilon=0.1)
+    qstate, qtx = create_train_state(qparams, "sgd", 1e-2,
+                                     qnet.trainable_mask(qparams))
+    qstep = make_ensemble_train_step(qnet, qcrit, qtx, qmesh)
+    s_state, s_m, s_loss = qstep(qstate, init_metric_state(), x, y)
+
+    @jax.jit
+    def q_ref_loss(p, x, y):
+        pred = qnet.apply(p, x)
+        return qcrit(pred, y, qnet.cvx_coefficients(p),
+                     qnet.geneo_params_flat(p), qnet.last_lambda)
+
+    l_p = float(q_ref_loss(qparams, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(float(s_loss), l_p, rtol=1e-4)
+    q_placed = tuple(
+        jax.device_put(a, NamedSharding(
+            qmesh, P("data", *([None] * (a.ndim - 1))))) for a in (x, y))
+    ms_q = _time_chained(qstep, qstate, init_metric_state(), q_placed)
+    q_plain = _plain_train_step(qnet, qcrit, qtx)
+    ms_qp = _time_chained(q_plain, qstate, init_metric_state(),
+                          (jnp.asarray(x), jnp.asarray(y)))
+    print(f"[ep quantile-3 64³ b16] sharded {ms_q:6.2f} ms | "
+          f"plain {ms_qp:6.2f} ms | overhead {ms_q - ms_qp:+5.2f} ms | "
+          f"loss Δ {abs(float(s_loss) - l_p):.2e} | OK")
+
+    qev = make_ensemble_eval_step(qnet, qcrit, qmesh, tau=0.65)
+    m_s, l_s, _ = qev(qstate.params, None, init_metric_state(),
+                      jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(l_s), l_p, rtol=1e-4)
+    print(f"[ep eval] loss Δ {abs(float(l_s) - l_p):.2e} | OK")
+
+    print("mesh_smoke_tpu: ALL SHARDED PROGRAM CLASSES LOWER AND MATCH "
+          "ON THE REAL TPU BACKEND")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@ from scenenet_tpu.parallel.mesh import (
     make_hybrid_mesh,
     make_mesh,
     batch_sharding,
+    ensure_replicated,
     replicated_sharding,
 )
 from scenenet_tpu.parallel.spatial import halo_conv3d, spatial_scenenet_forward
@@ -20,6 +21,7 @@ __all__ = [
     "make_hybrid_mesh",
     "make_mesh",
     "batch_sharding",
+    "ensure_replicated",
     "replicated_sharding",
     "halo_conv3d",
     "spatial_scenenet_forward",

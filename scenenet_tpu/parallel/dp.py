@@ -26,6 +26,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from scenenet_tpu.parallel.mesh import ensure_replicated
 from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
 from scenenet_tpu.train.metrics import (
     MetricState, merge_metric_states, update_metrics,
@@ -257,6 +258,10 @@ def make_sharded_eval_step(
         out_specs=(P(), P(), rep_spec), check_vma=False))
 
     def eval_step(params, model_state, mstate, *batch):
+        # one jit cache key whether the carry comes from the host (first
+        # batch) or from the previous sharded call — see ensure_replicated
+        params, model_state, mstate = ensure_replicated(
+            (params, model_state, mstate), mesh)
         if prep_jit is not None:
             x, y = prep_jit(*batch)
         else:
@@ -450,6 +455,7 @@ def make_sharded_train_step(
         sharded_cache: dict = {}
 
         def step(state, mstate, *batch):
+            state, mstate = ensure_replicated((state, mstate), mesh)
             batch = tuple(jnp.asarray(b) for b in batch)
             _check_divisible(batch[0].shape[0], None)
             key = tuple(b.ndim for b in batch)
@@ -465,6 +471,7 @@ def make_sharded_train_step(
                 for b in batch)
             return sharded_cache[key](state, mstate, *placed)
 
+        step._jits = lambda: list(sharded_cache.values())  # test hook
         return step
 
     batch_spec = P(batch_axis, None,
@@ -482,6 +489,7 @@ def make_sharded_train_step(
     prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
 
     def step(state, mstate, *batch):
+        state, mstate = ensure_replicated((state, mstate), mesh)
         if prep_jit is not None:
             x, y = prep_jit(*batch)
         else:
@@ -492,4 +500,5 @@ def make_sharded_train_step(
         y = jax.device_put(y, sharding)
         return jit_step(state, mstate, x, y)
 
+    step._jits = lambda: [jit_step]  # test hook (single-compile guarantee)
     return step

@@ -49,6 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scenenet_tpu.losses.geneo_loss import cvx_loss, positive_regularizer
 from scenenet_tpu.losses.quantile import QuantileGENEOLoss, QuantileLoss
+from scenenet_tpu.parallel.mesh import ensure_replicated
 from scenenet_tpu.train.metrics import (
     MetricState, merge_metric_states, update_metrics,
 )
@@ -312,6 +313,9 @@ def make_ensemble_train_step(
     sharded_cache: dict = {}
 
     def step(state, mstate, *batch):
+        # one jit cache key whether the carry comes from the host (first
+        # step) or from the previous sharded call — see ensure_replicated
+        state, mstate = ensure_replicated((state, mstate), mesh)
         batch = tuple(jnp.asarray(b) for b in batch)
         if batch[0].shape[0] % data_size:
             raise ValueError(
@@ -330,6 +334,7 @@ def make_ensemble_train_step(
             for b in batch)
         return sharded_cache[key](state, mstate, *placed)
 
+    step._jits = lambda: list(sharded_cache.values())  # test hook
     return step
 
 
@@ -423,6 +428,7 @@ def make_ensemble_eval_step(
 
     def eval_step(params, model_state, mstate, *batch):
         del model_state  # ensemble is stateless
+        params, mstate = ensure_replicated((params, mstate), mesh)
         if prep_jit is not None:
             x, y = prep_jit(*batch)
         else:

@@ -136,3 +136,29 @@ def batch_sharding(mesh: Mesh, batch_axis: str = "data",
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def ensure_replicated(tree, mesh: Mesh):
+    """Commit every array leaf of ``tree`` to the mesh-replicated sharding
+    (no-op for leaves already committed there).
+
+    Used on the CARRIED pytrees (TrainState, MetricState, loss
+    accumulators) before a sharded step / cached-epoch dispatch: the
+    program's replicated outputs come back committed to
+    ``NamedSharding(mesh, P())``, while the very first call's inputs are
+    uncommitted host values — two different jit cache keys, so without
+    this every mesh fit compiled its train step TWICE (measured on a
+    v5e: 14.2 s first call + 12.4 s silent recompile on the carried
+    second call at 64³ b16; benchmarks/mesh_smoke_tpu.py). Placing the
+    first carry here collapses both calls onto one key. Leaves already
+    carried from a previous step short-circuit on the ``committed`` +
+    sharding check, so the steady-state cost is one tree traversal.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def place(a):
+        if isinstance(a, jax.Array) and a.committed and a.sharding == rep:
+            return a
+        return jax.device_put(a, rep)
+
+    return jax.tree.map(place, tree)

@@ -260,6 +260,11 @@ class ADMMTrainer:
             raw_cache: dict = {}
 
             def step(state, mu, mstate, *batch):
+                # one jit key for the host-initial and carried (state, μ,
+                # counts) — see parallel.mesh.ensure_replicated
+                from scenenet_tpu.parallel.mesh import ensure_replicated
+                state, mu, mstate = ensure_replicated(
+                    (state, mu, mstate), mesh)
                 batch = tuple(jnp.asarray(b) for b in batch)
                 _check_divisible(batch[0].shape[0])
                 key = tuple(b.ndim for b in batch)
@@ -283,6 +288,8 @@ class ADMMTrainer:
         sharding = NamedSharding(mesh, bspec)
 
         def step(state, mu, mstate, *batch):
+            from scenenet_tpu.parallel.mesh import ensure_replicated
+            state, mu, mstate = ensure_replicated((state, mu, mstate), mesh)
             if prep_outside is not None:  # raw batch + space axis: prep
                 x, y = prep_outside(*batch)  # under plain jit, then reshard
             else:

@@ -777,6 +777,14 @@ class Trainer:
             return state, mstate, loss_sum, aug_key
 
         def run_chunk(state, mstate, loss_sum, aug_key, kperm, start, length):
+            if self.mesh is not None:
+                # one jit key for the host-initial and the carried
+                # (committed-replicated) chunk carry — without this every
+                # mesh fit silently compiled chunk_fn twice (see
+                # parallel.mesh.ensure_replicated)
+                from scenenet_tpu.parallel.mesh import ensure_replicated
+                state, mstate, loss_sum, aug_key = ensure_replicated(
+                    (state, mstate, loss_sum, aug_key), self.mesh)
             return chunk_fn(state, mstate, loss_sum, aug_key, cache.points,
                             cache.labels, cache.mask, kperm,
                             jnp.asarray(start), n_chunk=length)
@@ -910,6 +918,12 @@ class Trainer:
             return state, mstate, loss_sum, aug_key
 
         def run_chunk(state, mstate, loss_sum, aug_key, kperm, start, length):
+            if self.mesh is not None:
+                # single jit key across the first and carried chunk
+                # dispatches (see parallel.mesh.ensure_replicated)
+                from scenenet_tpu.parallel.mesh import ensure_replicated
+                state, mstate, loss_sum, aug_key = ensure_replicated(
+                    (state, mstate, loss_sum, aug_key), self.mesh)
             return chunk_fn(state, mstate, loss_sum, aug_key, grids.x,
                             grids.y, kperm, jnp.asarray(start), n_chunk=length)
 

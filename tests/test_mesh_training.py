@@ -693,3 +693,78 @@ class TestMeshCachedPreempt:
                                     key=jax.random.PRNGKey(4),
                                     resume_from=snap)
         _assert_tree_close(got, want, rtol=0, atol=0)
+
+
+class TestSingleCompileCarry:
+    """The sharded steps' carried outputs come back committed to the
+    replicated sharding; without ensure_replicated the host-initial first
+    call used a second jit cache key, so every mesh fit silently compiled
+    its step twice (measured 14.2 s + 12.4 s at 64³ b16 on a v5e —
+    benchmarks/mesh_smoke_tpu.py). Pin: three carried calls, ONE compile."""
+
+    def _n_compiles(self, step):
+        return sum(j._cache_size() for j in step._jits())
+
+    def test_dp_grid_step_compiles_once(self, devices8):
+        from scenenet_tpu.parallel import make_sharded_train_step
+
+        mesh = make_mesh((2, 4), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        from scenenet_tpu.train.state import create_train_state
+        from scenenet_tpu.train.metrics import init_metric_state
+
+        state, tx = create_train_state(params, "sgd", 1e-2,
+                                       net.trainable_mask(params))
+        step = make_sharded_train_step(net, _criterion(), tx, mesh)
+        x, y = _grid_batches(n=1)[0]
+        m = init_metric_state()
+        s = state
+        for _ in range(3):
+            s, m, _ = step(s, m, x, y)
+        assert self._n_compiles(step) == 1
+
+    def test_dp_raw_step_compiles_once(self, devices8):
+        from scenenet_tpu.parallel import make_sharded_train_step
+
+        mesh = make_mesh((8, 1), devices=devices8)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        from scenenet_tpu.train.state import create_train_state
+        from scenenet_tpu.train.metrics import init_metric_state
+
+        state, tx = create_train_state(params, "sgd", 1e-2,
+                                       net.trainable_mask(params))
+        prep = make_device_voxelize_prep((16, 12, 12), keep_labels=(15,))
+        step = make_sharded_train_step(net, _criterion(), tx, mesh,
+                                       batch_prep=prep)
+        raw = _raw_batches(n=1)[0]
+        m = init_metric_state()
+        s = state
+        for _ in range(3):
+            s, m, _ = step(s, m, *raw)
+        assert self._n_compiles(step) == 1
+
+    def test_ep_step_compiles_once(self, devices8):
+        from scenenet_tpu.losses import resolve_criterion
+        from scenenet_tpu.models import QuantileSceneNet
+        from scenenet_tpu.parallel import make_ensemble_train_step
+        from scenenet_tpu.train.state import create_train_state
+        from scenenet_tpu.train.metrics import init_metric_state
+
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        qs = (0.1, 0.3, 0.5, 0.9)
+        net, params = QuantileSceneNet.create(
+            {"cy": 1, "cone": 1, "neg": 1}, kernel_size=(9, 5, 5),
+            quantiles=qs, seed=3)
+        crit = resolve_criterion("quantile")(
+            quantiles=qs, weight_alpha=1.0, weight_epsilon=0.1,
+            mse_weight=1.0)
+        state, tx = create_train_state(params, "sgd", 1e-2,
+                                       net.trainable_mask(params))
+        step = make_ensemble_train_step(net, crit, tx, mesh)
+        x, y = _grid_batches(n=1)[0]
+        m = init_metric_state()
+        s = state
+        for _ in range(3):
+            s, m, _ = step(s, m, x, y)
+        assert self._n_compiles(step) == 1
