@@ -280,6 +280,7 @@ class ADMMTrainer:
                     for b in batch)
                 return raw_cache[key](state, mu, mstate, *placed)
 
+            step._jits = lambda: list(raw_cache.values())  # test hook
             return step
 
         jit_step = jax.jit(shard_map(
@@ -300,6 +301,7 @@ class ADMMTrainer:
             y = jax.device_put(y, sharding)
             return jit_step(state, mu, mstate, x, y)
 
+        step._jits = lambda: [jit_step]  # test hook
         return step
 
     # post-fit operations run through a plain Trainer on the data criterion

@@ -216,3 +216,37 @@ class TestADMMMesh:
                                        rtol=5e-4, atol=1e-6)
         np.testing.assert_allclose(mesh_best["train_loss"],
                                    ref_best["train_loss"], rtol=3e-4)
+
+
+class TestADMMSingleCompileCarry:
+    """Same guarantee as tests/test_mesh_training.py::TestSingleCompileCarry
+    for the ADMM mesh primal step: the carried (state, μ, counts) must not
+    split the jit cache key (host-initial vs committed-replicated)."""
+
+    def test_mesh_primal_step_compiles_once(self, tmp_path):
+        import jax
+
+        from scenenet_tpu.parallel import make_mesh
+        from scenenet_tpu.train.metrics import init_metric_state
+        from scenenet_tpu.train.state import create_train_state
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+        cfg = ADMMConfig(max_epochs=1, admm_rho=5.0, optimizer="sgd",
+                         learning_rate=1e-2,
+                         checkpoint_dir=str(tmp_path / "cc"),
+                         run_dir=str(tmp_path / "rc"),
+                         log_gradients=False, early_stop_metric=None)
+        t = ADMMTrainer(net, WeightedMSE.create(), cfg,
+                        mesh=make_mesh((4, 2)))
+        state, tx = create_train_state(params, "sgd", 1e-2,
+                                       net.trainable_mask(params))
+        step = t._make_mesh_step(tx, rho=5.0, needs_vf=False)
+        mu = jnp.zeros(len(_constraint_values(net, params)))
+        rng = np.random.default_rng(0)
+        x = (rng.random((8, 1, 16, 12, 12)) > 0.9).astype(np.float32)
+        y = (rng.random((8, 1, 16, 12, 12)) > 0.97).astype(np.float32)
+        m = init_metric_state()
+        s = state
+        for _ in range(3):
+            s, m, _ = step(s, mu, m, x, y)
+        assert sum(j._cache_size() for j in step._jits()) == 1
