@@ -133,10 +133,23 @@ class ADMMTrainer:
                 return new_state, mstate, loss
 
         @jax.jit
-        def dual_update(params, mu):
+        def _dual_update(params, mu):
             g = -_constraint_values(model, params)
             return (jnp.maximum(0.0, mu + rho * g),
                     jnp.maximum(g, 0.0).max())
+
+        if self.mesh is not None:
+            from scenenet_tpu.parallel.mesh import ensure_replicated
+
+            def dual_update(params, mu):
+                # epoch 1's μ is host-built while epoch 2+'s is a
+                # committed jit output — commit both up front so the dual
+                # update compiles once (see ensure_replicated)
+                return _dual_update(
+                    *ensure_replicated((params, mu), self.mesh))
+        else:
+            dual_update = _dual_update
+        self._dual_update_jit = _dual_update  # test hook
 
         from scenenet_tpu.train.callbacks import BestMetricTracker, EarlyStopping
         from scenenet_tpu.train.checkpoint import CheckpointManager
@@ -192,6 +205,7 @@ class ADMMTrainer:
         from scenenet_tpu.parallel.dp import (
             linesearch_value_fn, make_distributed, psum_confusion_delta,
         )
+        from scenenet_tpu.parallel.mesh import ensure_replicated
         from scenenet_tpu.parallel.spatial import spatial_scenenet_forward
 
         cfg = self.config
@@ -262,7 +276,6 @@ class ADMMTrainer:
             def step(state, mu, mstate, *batch):
                 # one jit key for the host-initial and carried (state, μ,
                 # counts) — see parallel.mesh.ensure_replicated
-                from scenenet_tpu.parallel.mesh import ensure_replicated
                 state, mu, mstate = ensure_replicated(
                     (state, mu, mstate), mesh)
                 batch = tuple(jnp.asarray(b) for b in batch)
@@ -289,7 +302,6 @@ class ADMMTrainer:
         sharding = NamedSharding(mesh, bspec)
 
         def step(state, mu, mstate, *batch):
-            from scenenet_tpu.parallel.mesh import ensure_replicated
             state, mu, mstate = ensure_replicated((state, mu, mstate), mesh)
             if prep_outside is not None:  # raw batch + space axis: prep
                 x, y = prep_outside(*batch)  # under plain jit, then reshard

@@ -776,18 +776,22 @@ class Trainer:
                 body, init, jnp.arange(n_chunk))
             return state, mstate, loss_sum, aug_key
 
+        if self.mesh is not None:
+            from scenenet_tpu.parallel.mesh import ensure_replicated
+
         def run_chunk(state, mstate, loss_sum, aug_key, kperm, start, length):
             if self.mesh is not None:
                 # one jit key for the host-initial and the carried
                 # (committed-replicated) chunk carry — without this every
                 # mesh fit silently compiled chunk_fn twice (see
                 # parallel.mesh.ensure_replicated)
-                from scenenet_tpu.parallel.mesh import ensure_replicated
                 state, mstate, loss_sum, aug_key = ensure_replicated(
                     (state, mstate, loss_sum, aug_key), self.mesh)
             return chunk_fn(state, mstate, loss_sum, aug_key, cache.points,
                             cache.labels, cache.mask, kperm,
                             jnp.asarray(start), n_chunk=length)
+
+        self._chunk_jit = chunk_fn  # test hook (single-compile guarantee)
 
         return self._run_scan_epochs(state, tx, run_chunk, key, val_loader,
                                      n_batches, resume_from)
@@ -917,15 +921,19 @@ class Trainer:
                 body, init, jnp.arange(n_chunk))
             return state, mstate, loss_sum, aug_key
 
+        if self.mesh is not None:
+            from scenenet_tpu.parallel.mesh import ensure_replicated
+
         def run_chunk(state, mstate, loss_sum, aug_key, kperm, start, length):
             if self.mesh is not None:
                 # single jit key across the first and carried chunk
                 # dispatches (see parallel.mesh.ensure_replicated)
-                from scenenet_tpu.parallel.mesh import ensure_replicated
                 state, mstate, loss_sum, aug_key = ensure_replicated(
                     (state, mstate, loss_sum, aug_key), self.mesh)
             return chunk_fn(state, mstate, loss_sum, aug_key, grids.x,
                             grids.y, kperm, jnp.asarray(start), n_chunk=length)
+
+        self._chunk_jit = chunk_fn  # test hook (single-compile guarantee)
 
         return self._run_scan_epochs(state, tx, run_chunk, key, val_loader,
                                      n_batches, resume_from)

@@ -250,3 +250,23 @@ class TestADMMSingleCompileCarry:
         for _ in range(3):
             s, m, _ = step(s, mu, m, x, y)
         assert sum(j._cache_size() for j in step._jits()) == 1
+
+    def test_mesh_dual_update_compiles_once(self, tmp_path):
+        """Epoch 1's μ is host-built; epoch 2's is a committed jit output
+        — the dual update must not recompile between them (review finding:
+        _cache_size() went 1→2 across epochs before the fix)."""
+        from scenenet_tpu.parallel import make_mesh
+
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=5)
+        cfg = ADMMConfig(max_epochs=3, admm_rho=5.0, optimizer="sgd",
+                         learning_rate=1e-2,
+                         checkpoint_dir=str(tmp_path / "cd"),
+                         run_dir=str(tmp_path / "rd"),
+                         log_gradients=False, early_stop_metric=None)
+        t = ADMMTrainer(net, WeightedMSE.create(), cfg,
+                        mesh=make_mesh((4, 2)))
+        rng = np.random.default_rng(0)
+        batches = [((rng.random((8, 1, 16, 12, 12)) > 0.9).astype(np.float32),
+                    (rng.random((8, 1, 16, 12, 12)) > 0.97).astype(np.float32))]
+        t.fit(params, batches)
+        assert t._dual_update_jit._cache_size() == 1

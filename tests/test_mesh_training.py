@@ -768,3 +768,28 @@ class TestSingleCompileCarry:
         for _ in range(3):
             s, m, _ = step(s, m, x, y)
         assert self._n_compiles(step) == 1
+
+    def test_cached_chunk_fn_compiles_once(self, devices8, tmp_path):
+        """The cached-epoch chunk dispatcher is the costliest program in
+        the codebase; pin that the carried (state, mstate, loss_sum, key)
+        does not split its jit cache key across epochs (uniform chunk
+        partition → exactly one entry). Covers fit_grid_cached and
+        fit_cached (point cache)."""
+        mesh = make_mesh((8, 1), devices=devices8)
+
+        grids = _GridBox(32, 12, 0)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        t = Trainer(net, _criterion(), _cfg(tmp_path, "cc1", max_epochs=3),
+                    mesh=mesh)
+        t.fit_grid_cached(params, grids, batch_size=8,
+                          key=jax.random.PRNGKey(2))
+        assert t._chunk_jit._cache_size() == 1
+
+        pts = _PointBox(16, 800, 1)
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=3)
+        t = Trainer(net, _criterion(), _cfg(tmp_path, "cc2", max_epochs=3),
+                    batch_prep=make_device_voxelize_prep(
+                        (16, 12, 12), (15,), use_indices=False),
+                    mesh=mesh)
+        t.fit_cached(params, pts, batch_size=8, key=jax.random.PRNGKey(2))
+        assert t._chunk_jit._cache_size() == 1
