@@ -174,6 +174,9 @@ class Trainer:
         self.config = config
         self.logger = logger or RunLogger(config.run_dir, use_wandb=config.use_wandb)
         self.batch_prep = batch_prep
+        # a 1-device mesh runs the plain-jit path: measured at parity with
+        # the sharded program (benchmarks/mesh_smoke_tpu.py), so nothing is
+        # lost, and single-chip configs keep mesh_data: 1 in the stock YAML
         self.mesh = mesh if (mesh is not None
                              and mesh.devices.size > 1) else None
         self._prep_jit = jax.jit(batch_prep) if batch_prep is not None else None
