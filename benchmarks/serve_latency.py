@@ -1,0 +1,242 @@
+"""Serving latency: single-request (batch-1) end-to-end percentiles.
+
+The serving receipts so far are throughput-shaped (grids/s at batch
+128-512); a production server is judged on request latency. This
+benchmark drives the REAL server (`scenenet_tpu.cli.serve` in a
+subprocess, stdlib HTTP) with one fixture cloud per request and reports:
+
+  - e2e:    client-side wall time per POST /predict (connect + npz
+            serialize + server + npz response)
+  - server: the server's own X-Latency-Ms header (host pad/copy +
+            device dispatch + fetch inside `_Pipeline.predict`)
+  - device: chained-fori_loop compute time of the same jitted `run`
+            executable in-process (the honest on-chip cost; everything
+            between `server` and `device` is host prep + tunnel RTT —
+            on a local TPU host that gap collapses to the PCIe copy)
+
+plus closed-loop concurrency runs for sustained single-server RPS —
+without and (``--max-batch B``) with dynamic micro-batching, the A/B
+that justifies the serve CLI's ``--max-batch`` knob.
+
+Usage: python benchmarks/serve_latency.py [--inference bf16|mxu|mxu_fast]
+           [--model scenenet|quantile] [--requests 50] [--max-batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+from json import loads as json_loads
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE = "/root/reference/data-sample/sample_575.npy"
+PORT = 8437
+
+
+def _wait_healthy(port: int, proc: subprocess.Popen, timeout: float = 900.0):
+    """Generous: a --max-batch server warms one executable per
+    power-of-two bucket at startup (fresh compiles ~60 s each through
+    the dev tunnel)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            raise RuntimeError(f"server died rc={proc.returncode}")
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                return r.read()
+        except Exception:
+            time.sleep(1.0)
+    raise TimeoutError("server never became healthy")
+
+
+def _request_body(points: np.ndarray, tau: float = 0.65) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, points=points.astype(np.float32), tau=np.float32(tau))
+    return buf.getvalue()
+
+
+def _post(port: int, body: bytes):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=body,
+        headers={"Content-Type": "application/octet-stream"})
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req, timeout=120) as r:
+        server_ms = float(r.headers.get("X-Latency-Ms", "nan"))
+        payload = r.read()
+    e2e_ms = (time.perf_counter() - t0) * 1e3
+    return e2e_ms, server_ms, payload
+
+
+def _pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def device_compute_ms(inference, model, grid, max_points, iters=30,
+                      max_batch=1):
+    """Chained fori_loop timing of the serve pipeline's own executables
+    (tunnel-honest: one dispatch for all iters). Returns (batch-1 ms,
+    {bucket: per-request ms}) — the second is the device-side
+    batched-vs-sequential A/B, i.e. the regime a LOCAL TPU host serves
+    in (PCIe wire, device compute dominant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenenet_tpu.cli.serve import _Pipeline
+
+    pipe = _Pipeline(None, grid, max_points, inference=inference,
+                     model=model)
+    cloud = np.load(FIXTURE)[:, :3]
+    n = min(len(cloud), max_points)
+    pts = np.zeros((max_points, 3), np.float32)
+    mask = np.zeros(max_points, bool)
+    pts[:n] = cloud[:n] - cloud[:n].min(0)
+    mask[:n] = True
+    pts_d, mask_d = jnp.asarray(pts), jnp.asarray(mask)
+
+    def chained_ms(run_fn, pts_a, mask_a, reps):
+        @jax.jit
+        def chain(params, pts, mask):
+            def body(_, acc):
+                pred, probs = run_fn(params, pts + acc * 0, mask)
+                return acc + probs.ravel()[0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        chain(pipe.params, pts_a, mask_a).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        chain(pipe.params, pts_a, mask_a).block_until_ready()
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    ms1 = chained_ms(pipe._run, pts_d, mask_d, iters)
+    batched = {}
+    b = 2
+    while b <= max_batch:
+        pts_b = jnp.broadcast_to(pts_d, (b,) + pts_d.shape)
+        mask_b = jnp.broadcast_to(mask_d, (b,) + mask_d.shape)
+        batched[b] = chained_ms(pipe._run_batch, pts_b, mask_b,
+                                max(iters // b, 4)) / b
+        b *= 2
+    return ms1, batched
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inference", default="bf16",
+                    choices=["bf16", "mxu", "mxu_fast"])
+    ap.add_argument("--model", default="scenenet",
+                    choices=["scenenet", "quantile"])
+    ap.add_argument("--requests", type=int, default=50)
+    ap.add_argument("--max-points", type=int, default=65536)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help=">1 adds a micro-batched server A/B leg")
+    ap.add_argument("--device-only", action="store_true",
+                    help="skip the HTTP server legs; just the in-process "
+                         "device-side batched-vs-sequential A/B")
+    ap.add_argument("--batched-only", action="store_true",
+                    help="skip the direct server leg (re-run the batched "
+                         "A/B against already-recorded direct numbers)")
+    args = ap.parse_args(argv)
+    if args.max_batch > 1:
+        # keep the batcher's queue fed: 2× oversubscription; same thread
+        # count for the direct leg (a serial device pipeline gains nothing
+        # from extra clients, so the A/B stays fair)
+        args.threads = max(args.threads, 2 * args.max_batch)
+
+    cloud = np.load(FIXTURE)[:, :3]  # 58,243 points, a real TS40K crop
+    body = _request_body(cloud)
+    print(f"[serve_latency] model={args.model} inference={args.inference} "
+          f"cloud={len(cloud)} pts, body={len(body) / 1e6:.2f} MB")
+
+    def closed_loop(threads, per):
+        lat, lock = [], threading.Lock()
+
+        def worker(k):
+            for _ in range(k):
+                e, s, _ = _post(PORT, body)
+                with lock:
+                    lat.append(e)
+
+        ts = [threading.Thread(target=worker, args=(per,))
+              for _ in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        return threads * per / wall, lat
+
+    def run_server(extra, label, measure_sequential):
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "scenenet_tpu.cli.serve",
+             "--port", str(PORT), "--grid", str(args.grid),
+             "--max-points", str(args.max_points),
+             "--model", args.model, "--inference", args.inference] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        try:
+            _wait_healthy(PORT, proc)
+            for _ in range(3):  # warmup
+                _post(PORT, body)
+
+            if measure_sequential:
+                e2e, server = [], []
+                for _ in range(args.requests):
+                    e, s, payload = _post(PORT, body)
+                    e2e.append(e)
+                    server.append(s)
+                print(f"  [{label}] sequential x{args.requests}: "
+                      f"e2e p50={_pct(e2e, 50):.1f} p95={_pct(e2e, 95):.1f} "
+                      f"p99={_pct(e2e, 99):.1f} ms | server "
+                      f"p50={_pct(server, 50):.1f} "
+                      f"p95={_pct(server, 95):.1f} ms | "
+                      f"response {len(payload) / 1e6:.2f} MB")
+
+            per = max(args.requests // args.threads, 8)
+            rps, lat = closed_loop(args.threads, per)
+            print(f"  [{label}] {args.threads}-thread closed loop: "
+                  f"{rps:.1f} req/s sustained, p50={_pct(lat, 50):.1f} "
+                  f"p99={_pct(lat, 99):.1f} ms")
+            if "batched" in label:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{PORT}/healthz") as r:
+                    print(f"  [{label}] healthz batching: "
+                          f"{json_loads(r.read())['batching']}")
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)
+
+    if not args.device_only:
+        if not args.batched_only:
+            run_server([], "direct", measure_sequential=True)
+        if args.max_batch > 1:
+            run_server(["--max-batch", str(args.max_batch),
+                        "--batch-window-ms", "2"],
+                       f"batched<={args.max_batch}", measure_sequential=False)
+
+    if args.batched_only:
+        return
+    dev, dev_batched = device_compute_ms(
+        True if args.inference == "bf16" else args.inference,
+        args.model, (args.grid,) * 3, args.max_points,
+        max_batch=args.max_batch)
+    print(f"  device compute (chained fori_loop, in-process): {dev:.2f} ms "
+          f"— the on-chip cost; server−device = host pad/copy + tunnel RTT")
+    for b, ms in sorted(dev_batched.items()):
+        print(f"  device compute batched b={b}: {ms:.2f} ms/request "
+              f"({dev / ms:.2f}x batch-1) — the local-host (PCIe) "
+              f"micro-batching regime")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,20 @@ from the member closest to the median. ``--mesh-ensemble m`` shards the
 Q member convs over m local devices (parallel/ep.py) — ensemble-parallel
 serving, latency divided by m up to Q.
 
-GET /healthz returns build/model info.
+``--max-batch B`` (with ``--batch-window-ms w``) enables dynamic
+micro-batching: concurrent requests queue for up to ``w`` ms and run as
+ONE batched dispatch, padded to a power-of-two bucket so the executable
+set stays fixed, pipelined so uploads/compute/downloads of consecutive
+batches overlap (see `_MicroBatcher`). The batched path reuses the
+throughput kernels (`voxelize_batch_occupancy`, batched gather) and
+produces the same results as the batch-1 path. Measured regime
+(`benchmarks/serve_latency.py`, v5e): the chip already serves batch-1
+of this pipeline in ~1-1.7 ms, so device-side batching only pays at
+large buckets (3.1× at b=32, 32³ grids) — leave ``--max-batch 1``
+unless sustained concurrency exceeds several hundred req/s or requests
+are small; it's a knob for chip efficiency under load, not a default.
+
+GET /healthz returns build/model info (+ live batching stats).
 
 Usage:
     python -m scenenet_tpu.cli.serve --checkpoint ckpt.npz [--port 8400]
@@ -30,6 +43,8 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -40,14 +55,16 @@ class _Pipeline:
     def __init__(self, checkpoint: str | None, grid=(64, 64, 64),
                  max_points: int = 131072, kernel_size=(9, 5, 5),
                  inference: "bool | str" = True, model: str = "scenenet",
-                 quantiles=(0.1, 0.5, 0.9), mesh_ensemble: int = 1):
+                 quantiles=(0.1, 0.5, 0.9), mesh_ensemble: int = 1,
+                 max_batch: int = 1, batch_window_ms: float = 2.0,
+                 warm_buckets: bool = True):
         import jax
         import jax.numpy as jnp
 
         from scenenet_tpu.models import SceneNet
         from scenenet_tpu.ops.voxelize import (
-            _flat_zxy_idx, gather_point_values, grid_bounds, voxel_indices,
-            voxelize_batch_hist,
+            _flat_zxy_idx, batch_flat_ids, gather_point_values, grid_bounds,
+            voxel_indices, voxelize_batch_hist, voxelize_batch_occupancy,
         )
         from scenenet_tpu.train.checkpoint import restore_checkpoint
 
@@ -125,10 +142,43 @@ class _Pipeline:
                 probs = gather_point_values(pred, flat, mask)
             return pred, probs
 
+        @jax.jit
+        def run_batch(params, pts, mask):
+            """(B, N, 3)/(B, N) → (pred (B[,Q],Z,X,Y), probs (B[,Q],N)).
+
+            Same math as `run`: `voxelize_batch_occupancy` is exactly
+            `voxelize_batch_hist > 0` and `batch_flat_ids` vmaps the
+            identical per-sample bounds+binning recipe."""
+            x = voxelize_batch_occupancy(pts, mask, grid)[:, None]
+            pred = ens_fwd(params, x)  # (B,Z,X,Y) or (B,Q,Z,X,Y)
+            flat = batch_flat_ids(pts, mask, grid)
+            if pred.ndim == 5:  # (B, Q, ...): gather per member
+                q = pred.shape[1]
+                flat_q = jnp.broadcast_to(flat[:, None], (flat.shape[0], q,
+                                                          flat.shape[1]))
+                probs = gather_point_values(pred, flat_q, mask[:, None])
+            else:
+                probs = gather_point_values(pred, flat, mask)
+            return pred, probs
+
         self._run = run
+        self._run_batch = run_batch
         self._jnp = jnp
-        # warm the executable
+        self._batcher = None
+        # warm the executable(s): jit caches per batch shape, so each
+        # power-of-two bucket is its own one-time compile
         self.predict(np.zeros((16, 3), np.float32))
+        if max_batch > 1:
+            self._batcher = _MicroBatcher(self, max_batch, batch_window_ms)
+            if warm_buckets:
+                b = 1
+                while b <= self._batcher.max_batch:
+                    pts = np.zeros((b, self.max_points, 3), np.float32)
+                    msk = np.zeros((b, self.max_points), bool)
+                    msk[:, 0] = True
+                    jax.block_until_ready(
+                        self._run_batch(self.params, pts, msk))
+                    b *= 2
 
     def predict(self, points: np.ndarray):
         """Returns (voxel_pred, point_probs): (Z,X,Y)/(N,) for scenenet,
@@ -138,9 +188,143 @@ class _Pipeline:
         mask = np.zeros(self.max_points, bool)
         pts[:n] = points[:n] - points[:n].min(0)
         mask[:n] = True
-        pred, probs = self._run(self.params, self._jnp.asarray(pts),
-                                self._jnp.asarray(mask))
+        if self._batcher is not None:
+            # H2D transfer happens HERE, in the handler thread — transfers
+            # from concurrent requests overlap each other and the in-flight
+            # batched dispatches (the batcher worker never touches the wire)
+            pred, probs = self._batcher.submit(self._jnp.asarray(pts),
+                                               self._jnp.asarray(mask))
+        else:
+            pred, probs = self._run(self.params, self._jnp.asarray(pts),
+                                    self._jnp.asarray(mask))
         return np.asarray(pred), np.asarray(probs)[..., :n]
+
+    def predict_batch(self, pts: np.ndarray, mask: np.ndarray, n_live: int):
+        """One batched dispatch for ``n_live`` padded samples, bucket-padded
+        to a fixed power-of-two executable shape. Returns per-sample
+        (pred, probs) numpy arrays for the live rows."""
+        bucket = 1
+        while bucket < n_live:
+            bucket *= 2
+        if n_live < bucket:  # pad rows by repeating sample 0 (always valid)
+            reps = bucket - n_live
+            pts = np.concatenate([pts, np.repeat(pts[:1], reps, 0)], 0)
+            mask = np.concatenate([mask, np.repeat(mask[:1], reps, 0)], 0)
+        pred, probs = self._run_batch(self.params, self._jnp.asarray(pts),
+                                      self._jnp.asarray(mask))
+        # device-side slice: only live rows cross the wire
+        pred = np.asarray(pred[:n_live])
+        probs = np.asarray(probs[:n_live])
+        return [(pred[i], probs[i]) for i in range(n_live)]
+
+
+class _MicroBatcher:
+    """Dynamic micro-batching: coalesce concurrent requests into one
+    batched dispatch, pipelined so the wire overlaps the chip.
+
+    The first queued request opens a window of ``window_ms``; whatever
+    arrives before it closes (up to ``max_batch``) rides the same
+    executable. Single requests on an idle server pay at most the window
+    (2 ms default) on top of batch-1 latency; under concurrency the
+    server moves to the throughput regime of the batched kernels.
+
+    Pipelining: handler threads transfer their request H2D *before*
+    queueing (overlapped uploads), the dispatch thread only stacks
+    device arrays (on-device op) and enqueues the async ``run_batch``
+    call — it never blocks on results — and a separate fetch thread
+    drains the (bounded, depth-2) in-flight queue D2H. Batch k+1 is
+    computing while batch k's results stream back; without this split
+    a single worker serializes transfer against compute and batching
+    can LOSE to concurrent batch-1 requests on transfer-bound links
+    (measured: 8.0 vs 12.6 req/s through the dev tunnel).
+    """
+
+    def __init__(self, pipeline: _Pipeline, max_batch: int,
+                 window_ms: float):
+        b = 1
+        while b < max_batch:
+            b *= 2
+        self.max_batch = b  # power of two: bucket set == warmed set
+        self.window = max(window_ms, 0.0) / 1e3
+        self.stats = {"requests": 0, "dispatches": 0,
+                      "max_batch_seen": 0}
+        self._pipeline = pipeline
+        self._q: "queue.Queue" = queue.Queue()
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._dispatch = threading.Thread(target=self._dispatch_loop,
+                                          daemon=True)
+        self._fetch = threading.Thread(target=self._fetch_loop, daemon=True)
+        self._dispatch.start()
+        self._fetch.start()
+
+    def submit(self, pts, mask):
+        """pts/mask are DEVICE arrays (the caller pays the H2D transfer in
+        its own thread); returns per-request numpy (pred, probs)."""
+        done = threading.Event()
+        slot = {"done": done}
+        self._q.put((pts, mask, slot))
+        done.wait()
+        if "exc" in slot:
+            raise slot["exc"]
+        return slot["result"]
+
+    @staticmethod
+    def _fail(batch, exc):
+        for _, _, slot in batch:
+            slot["exc"] = exc
+            slot["done"].set()
+
+    def _dispatch_loop(self):
+        jnp = self._pipeline._jnp
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0 and self._q.empty():
+                    break
+                try:
+                    batch.append(self._q.get(timeout=max(left, 0)))
+                except queue.Empty:
+                    break
+            n = len(batch)
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            # bucket-pad by repeating request 0's device refs: no extra
+            # host bytes cross the wire for the padding rows' upload
+            rows_p = [b[0] for b in batch] + [batch[0][0]] * (bucket - n)
+            rows_m = [b[1] for b in batch] + [batch[0][1]] * (bucket - n)
+            self.stats["requests"] += n
+            self.stats["dispatches"] += 1
+            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                               n)
+            try:
+                pred, probs = self._pipeline._run_batch(
+                    self._pipeline.params, jnp.stack(rows_p),
+                    jnp.stack(rows_m))
+                # slice off the padding rows ON DEVICE so only live
+                # results cross the wire at fetch time (the full-bucket
+                # fetch was measured 2.5x the live bytes)
+                pred, probs = pred[:n], probs[:n]
+            except Exception as exc:  # trace/shape errors surface here
+                self._fail(batch, exc)
+                continue
+            # async values: hand to the fetcher and go collect the next
+            # batch while the chip works (bounded queue = backpressure)
+            self._fetch_q.put((batch, pred, probs))
+
+    def _fetch_loop(self):
+        while True:
+            batch, pred, probs = self._fetch_q.get()
+            try:
+                pred, probs = np.asarray(pred), np.asarray(probs)
+            except Exception as exc:  # runtime errors surface at fetch
+                self._fail(batch, exc)
+                continue
+            for i, (_, _, slot) in enumerate(batch):
+                slot["result"] = (pred[i], probs[i])
+                slot["done"].set()
 
 
 def make_handler(pipeline: _Pipeline):
@@ -163,6 +347,9 @@ def make_handler(pipeline: _Pipeline):
             if pipeline.model == "quantile":
                 info["quantiles"] = list(pipeline.quantiles)
                 info["mesh_ensemble"] = pipeline.mesh_ensemble
+            if pipeline._batcher is not None:
+                info["batching"] = dict(pipeline._batcher.stats,
+                                        max_batch=pipeline._batcher.max_batch)
             body = json.dumps(info).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -248,6 +435,13 @@ def main(argv=None):
                              "stencil (bit-exact on occupancy), banded-y "
                              "MXU split (near-f32), or single-bf16 MXU "
                              "(fastest; for mask-only consumers)")
+    parser.add_argument("--max-batch", type=int, default=1,
+                        help=">1 enables dynamic micro-batching: concurrent "
+                             "requests coalesce into one batched dispatch "
+                             "(power-of-two buckets, warmed at startup)")
+    parser.add_argument("--batch-window-ms", type=float, default=2.0,
+                        help="how long the first queued request waits for "
+                             "company before dispatching")
     args = parser.parse_args(argv)
 
     inference = True if args.inference == "bf16" else args.inference
@@ -255,10 +449,15 @@ def main(argv=None):
     pipeline = _Pipeline(args.checkpoint, (args.grid,) * 3, args.max_points,
                          inference=inference, model=args.model,
                          quantiles=quantiles,
-                         mesh_ensemble=args.mesh_ensemble)
+                         mesh_ensemble=args.mesh_ensemble,
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(pipeline))
+    batching = (f", micro-batching ≤{pipeline._batcher.max_batch} "
+                f"@ {args.batch_window_ms} ms"
+                if pipeline._batcher is not None else "")
     print(f"serving SCENE-Net ({args.model}) on http://127.0.0.1:{args.port} "
-          f"(grid {args.grid}³, ≤{args.max_points} pts)")
+          f"(grid {args.grid}³, ≤{args.max_points} pts{batching})")
     server.serve_forever()
 
 

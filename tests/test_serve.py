@@ -130,3 +130,137 @@ class TestServeQuantile:
         ep_pred, ep_probs = ep.predict(points)
         np.testing.assert_allclose(ep_pred, ref_pred, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(ep_probs, ref_probs, rtol=1e-5, atol=1e-6)
+
+
+class TestMicroBatching:
+    """Dynamic micro-batching: concurrent requests coalesce into one
+    bucket-padded batched dispatch with results equal to the batch-1 path."""
+
+    def test_batched_equals_direct_and_coalesces(self):
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        kw = dict(grid=(16, 16, 16), max_points=2048)
+        direct = _Pipeline(None, **kw)
+        batched = _Pipeline(None, max_batch=4, batch_window_ms=300.0, **kw)
+        assert batched._batcher is not None
+
+        rng = np.random.default_rng(7)
+        clouds = [rng.uniform(0, 20 + 5 * i, (800 + 100 * i, 3))
+                  .astype(np.float32) for i in range(3)]
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = batched.predict(clouds[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, cloud in enumerate(clouds):
+            ref_pred, ref_probs = direct.predict(cloud)
+            pred, probs = results[i]
+            np.testing.assert_allclose(pred, ref_pred, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(probs, ref_probs, rtol=1e-5,
+                                       atol=1e-6)
+
+        # 3 requests inside a 300 ms window on warmed buckets → ONE
+        # dispatch, bucket-padded 3 → 4
+        stats = batched._batcher.stats
+        assert stats["requests"] == 3
+        assert stats["dispatches"] == 1
+        assert stats["max_batch_seen"] == 3
+        assert batched._batcher.max_batch == 4
+
+    def test_quantile_batched_gather(self):
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        kw = dict(grid=(16, 16, 16), max_points=2048, model="quantile",
+                  quantiles=(0.1, 0.5, 0.9))
+        direct = _Pipeline(None, **kw)
+        batched = _Pipeline(None, max_batch=2, batch_window_ms=0.0, **kw)
+        rng = np.random.default_rng(11)
+        cloud = rng.uniform(0, 30, (900, 3)).astype(np.float32)
+        ref_pred, ref_probs = direct.predict(cloud)
+        pred, probs = batched.predict(cloud)  # window 0 → solo dispatch
+        assert probs.shape == (3, 900)
+        np.testing.assert_allclose(pred, ref_pred, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(probs, ref_probs, rtol=1e-5, atol=1e-6)
+
+    def test_batched_ep_matches_unsharded(self):
+        """Micro-batching composes with ensemble-parallel serving: the
+        coalesced dispatch runs the member-sharded forward and matches
+        the single-device batch-1 pipeline."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        kw = dict(grid=(16, 16, 16), max_points=2048, model="quantile",
+                  quantiles=(0.1, 0.3, 0.5, 0.9))
+        direct = _Pipeline(None, **kw)
+        ep_batched = _Pipeline(None, mesh_ensemble=4, max_batch=2,
+                               batch_window_ms=300.0, **kw)
+
+        rng = np.random.default_rng(13)
+        clouds = [rng.uniform(0, 20 + 8 * i, (700 + 150 * i, 3))
+                  .astype(np.float32) for i in range(2)]
+        results = [None] * 2
+
+        def worker(i):
+            results[i] = ep_batched.predict(clouds[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, cloud in enumerate(clouds):
+            ref_pred, ref_probs = direct.predict(cloud)
+            pred, probs = results[i]
+            assert probs.shape == (4, len(cloud))
+            np.testing.assert_allclose(pred, ref_pred, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(probs, ref_probs, rtol=1e-5,
+                                       atol=1e-6)
+        assert ep_batched._batcher.stats["dispatches"] == 1
+
+    def test_http_healthz_reports_batching(self):
+        from scenenet_tpu.cli.serve import _Pipeline, make_handler
+
+        pipeline = _Pipeline(None, grid=(16, 16, 16), max_points=2048,
+                             max_batch=4, batch_window_ms=100.0)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline))
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            rng = np.random.default_rng(5)
+            points = rng.uniform(0, 20, (700, 3)).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, points=points, tau=np.float32(0.5))
+            body = buf.getvalue()
+
+            outs = [None] * 3
+
+            def post(i):
+                req = urllib.request.Request(f"{base}/predict", data=body,
+                                             method="POST")
+                with urllib.request.urlopen(req) as r:
+                    outs[i] = np.load(io.BytesIO(r.read()))
+
+            threads = [threading.Thread(target=post, args=(i,))
+                       for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for o in outs:
+                assert o["point_probs"].shape == (700,)
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                info = json.loads(r.read())
+            assert info["batching"]["requests"] == 3
+            assert info["batching"]["max_batch"] == 4
+            assert info["batching"]["dispatches"] <= 3
+        finally:
+            srv.shutdown()
