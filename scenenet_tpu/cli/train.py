@@ -186,20 +186,30 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
     md, msp = int(cfg.mesh_data), int(cfg.mesh_space)
     mdcn = int(getattr(cfg, "mesh_dcn_data", 1))
     mens = int(getattr(cfg, "mesh_ensemble", 1))
-    if md * msp * mdcn * mens > 1:
+    mchan = int(getattr(cfg, "mesh_channel", 1))
+    if md * msp * mdcn * mens * mchan > 1:
         import jax
 
         from scenenet_tpu.parallel import make_hybrid_mesh, make_mesh
 
         n_dev = len(jax.devices())
-        if md * msp * mdcn * mens != n_dev:
+        if md * msp * mdcn * mens * mchan != n_dev:
             raise ValueError(f"mesh {mdcn}(dcn)×{md}(data)×{msp}(space)"
-                             f"×{mens}(ensemble) = "
-                             f"{md * msp * mdcn * mens} devices, but "
-                             f"{n_dev} are visible")
-        if mens > 1 and msp > 1:
-            raise ValueError("mesh_ensemble and mesh_space cannot be "
-                             "combined (use data × ensemble)")
+                             f"×{mens}(ensemble)×{mchan}(channel) = "
+                             f"{md * msp * mdcn * mens * mchan} devices, "
+                             f"but {n_dev} are visible")
+        if sum(ax > 1 for ax in (msp, mens, mchan)) > 1:
+            raise ValueError("mesh_space / mesh_ensemble / mesh_channel "
+                             "are mutually exclusive (one non-data axis)")
+        if mchan > 1:
+            if cfg.model not in ("unet", "cnn"):
+                raise ValueError(
+                    "channel tensor parallelism (mesh_channel > 1) shards "
+                    "the black-box conv stacks via GSPMD "
+                    f"(model=unet/cnn; got model={cfg.model!r})")
+            if mdcn > 1:
+                raise ValueError("mesh_channel composes with mesh_data "
+                                 "only (no DCN axis)")
         if msp > 1 and cfg.model != "scenenet":
             raise ValueError("spatial sharding (mesh_space > 1) is "
                              "implemented for the scenenet model "
@@ -213,21 +223,25 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
             if n_members % mens:
                 raise ValueError(f"{n_members} quantiles do not divide by "
                                  f"mesh_ensemble ({mens})")
-        # the stateful unet trains pure-DP under a mesh (sync-BN over the
-        # data axis); non-DP axes are already rejected above — mesh_space
-        # by the scenenet-only guard, mesh_ensemble by the quantile-only
-        # guard
-        if getattr(cfg, "constrained", "penalty") == "admm" and mens > 1:
+        # the stateful unet trains DP (sync-BN shard_map) or DP×channel-TP
+        # (GSPMD) under a mesh; the other non-DP axes are rejected above —
+        # mesh_space by the scenenet-only guard, mesh_ensemble by the
+        # quantile-only guard, mesh_channel by the unet/cnn-only guard
+        if getattr(cfg, "constrained", "penalty") == "admm" and \
+                mens * mchan > 1:
             raise ValueError("constrained=admm shards over data/space only "
-                             "(no ensemble axis)")
+                             "(no ensemble/channel axis)")
         if cfg.batch_size % (md * mdcn):
             raise ValueError(f"batch_size {cfg.batch_size} must divide by "
                              f"the data shards ({md * mdcn})")
         if cfg.voxel_grid_size[2] % msp:
             raise ValueError(f"grid Z extent {cfg.voxel_grid_size[2]} must "
                              f"divide by mesh_space ({msp})")
-        # the non-data axis: EP members (model) or the spatial Z shards
-        inner = ("model", mens) if mens > 1 else ("space", msp)
+        # the non-data axis: EP members / GSPMD channel TP (both named
+        # 'model' — the Trainer routes by model family) or the spatial Z
+        # shards
+        inner = (("model", mens * mchan) if mens * mchan > 1
+                 else ("space", msp))
         axis_names = ("data", inner[0])
         mesh = (make_hybrid_mesh((mdcn, 1), (md, inner[1]),
                                  axis_names=axis_names) if mdcn > 1
@@ -349,12 +363,13 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
                          f"{cfg.batch_size}")
 
     device_cache = cfg.device_cache
-    if mesh is not None and device_cache and msp > 1:
+    if mesh is not None and device_cache and (msp > 1 or mchan > 1):
         # both cached-epoch fits scale over a pure-DP mesh (replicated
-        # cache + shard_map'd compute); spatial sharding streams batches
+        # cache + shard_map'd compute); spatial sharding and GSPMD
+        # channel TP stream batches via fit()
         if device_cache != "auto":
             print("[mesh] device_cache disabled (cached epochs are "
-                  "pure-DP; spatial sharding streams batches)")
+                  "pure-DP; spatial/channel sharding streams batches)")
         device_cache = False
     if device_cache == "auto":
         device_cache = _resolve_device_cache_auto(cfg, len(train_ds))

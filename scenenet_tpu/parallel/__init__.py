@@ -16,6 +16,12 @@ from scenenet_tpu.parallel.ep import (
     make_ensemble_inference_fn,
     make_ensemble_train_step,
 )
+from scenenet_tpu.parallel.gspmd import (
+    channel_shardings,
+    channel_specs,
+    make_gspmd_eval_step,
+    make_gspmd_train_step,
+)
 
 __all__ = [
     "make_hybrid_mesh",
@@ -31,4 +37,8 @@ __all__ = [
     "make_ensemble_eval_step",
     "make_ensemble_inference_fn",
     "make_ensemble_train_step",
+    "channel_shardings",
+    "channel_specs",
+    "make_gspmd_eval_step",
+    "make_gspmd_train_step",
 ]

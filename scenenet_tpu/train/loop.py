@@ -276,12 +276,28 @@ class Trainer:
         (see :mod:`scenenet_tpu.parallel.ep`)."""
         return self.mesh.shape.get("model", 1) if self.mesh is not None else 1
 
+    def _gspmd_mode(self) -> bool:
+        """True when the mesh's 'model' axis means GSPMD channel tensor
+        parallelism (:mod:`scenenet_tpu.parallel.gspmd`) rather than
+        quantile-ensemble member sharding: any non-ensemble model — the
+        black-box conv stacks (unet/cnn) are the intended users."""
+        return (self._mesh_ensemble_size() > 1
+                and not hasattr(self.model, "quantiles"))
+
     def _mesh_eval_step(self):
         """Sharded eval twin: validation/test under a mesh must fit the
         SAME per-device memory envelope as the sharded train step (a
         replicated plain-jit forward would OOM exactly in the capacity
         regime mesh_space exists for)."""
         cfg = self.config
+        if self._gspmd_mode():
+            from scenenet_tpu.parallel.gspmd import make_gspmd_eval_step
+
+            return make_gspmd_eval_step(
+                self.model, self.criterion, self.mesh, tau=cfg.tau,
+                batch_prep=self.batch_prep,
+                compiler_options=cfg.compiler_options,
+                precision=cfg.precision)
         if self._mesh_ensemble_size() > 1:
             from scenenet_tpu.parallel.ep import make_ensemble_eval_step
 
@@ -300,22 +316,31 @@ class Trainer:
 
     def _check_mesh_supported(self, pure_dp=False, batch_size=None):
         """Shared loud-failure guards for every mesh fit path."""
+        if pure_dp and self._gspmd_mode():
+            raise ValueError(
+                "GSPMD channel-TP training (mesh 'model' axis on a "
+                "non-ensemble model) streams batches via fit(); the "
+                "cached-epoch fits shard over 'data' only")
         if self._stateful:
             if pure_dp:
                 raise ValueError(
                     "cached-epoch mesh training supports stateless models "
                     "only; stateful models (unet) stream batches via fit()")
-            if (self.mesh.shape.get("space", 1) > 1
-                    or self._mesh_ensemble_size() > 1):
+            if self.mesh.shape.get("space", 1) > 1:
                 raise ValueError(
-                    "stateful models train pure-DP under a mesh (data axis "
-                    "only) — got "
+                    "stateful models do not support spatial sharding — got "
                     f"{dict(self.mesh.shape)}")
-            if not hasattr(self.model, "with_bn_sync"):
+            if self._mesh_ensemble_size() > 1 and not self._gspmd_mode():
+                raise ValueError(
+                    "stateful models train DP (shard_map sync-BN) or "
+                    "DP × channel-TP (GSPMD) under a mesh — got "
+                    f"{dict(self.mesh.shape)}")
+            if (self._mesh_ensemble_size() <= 1
+                    and not hasattr(self.model, "with_bn_sync")):
                 raise ValueError(
                     f"stateful model {type(self.model).__name__} lacks "
                     "with_bn_sync(axis); cross-shard batch-stats sync is "
-                    "required for mesh training")
+                    "required for shard_map DP mesh training")
 
         if pure_dp and self.mesh.shape.get("space", 1) > 1:
             raise ValueError(
@@ -427,6 +452,18 @@ class Trainer:
         self._check_mesh_supported()
         needs_vf = optimizer_needs_value_fn(cfg.optimizer)
         space = self.mesh.shape.get("space", 1)
+        if self._gspmd_mode():
+            if space > 1:
+                raise ValueError(
+                    "a mesh cannot combine the channel-TP ('model') and "
+                    "spatial ('space') axes; use (data, model)")
+            from scenenet_tpu.parallel.gspmd import make_gspmd_train_step
+
+            return make_gspmd_train_step(
+                self.model, self.criterion, tx, self.mesh, tau=cfg.tau,
+                batch_prep=self.batch_prep,
+                compiler_options=cfg.compiler_options,
+                needs_value_fn=needs_vf, precision=cfg.precision)
         if self._mesh_ensemble_size() > 1:
             if space > 1:
                 raise ValueError(

@@ -143,6 +143,11 @@ class ExperimentConfig:
     # len(quantiles)/mesh_ensemble members (parallel/ep.py). Composes with
     # mesh_data/mesh_dcn_data; mutually exclusive with mesh_space.
     mesh_ensemble: int = 1
+    # channel tensor parallelism (model=unet/cnn): shard the conv stacks'
+    # channel dims over a 'model' mesh axis via GSPMD sharding annotations
+    # (parallel/gspmd.py) — XLA places the collectives. Composes with
+    # mesh_data; mutually exclusive with mesh_space/mesh_ensemble.
+    mesh_channel: int = 1
 
     # logging / export
     use_wandb: bool = False

@@ -342,7 +342,7 @@ class TestCliEnsembleMesh:
             run(ExperimentConfig(model="quantile", mesh_data=2,
                                  mesh_ensemble=4, quantiles=(0.1, 0.5, 0.9),
                                  **base))
-        with pytest.raises(ValueError, match="cannot be combined"):
+        with pytest.raises(ValueError, match="mutually exclusive"):
             run(ExperimentConfig(model="quantile", mesh_space=2,
                                  mesh_ensemble=4, quantiles=(0.1, 0.5, 0.9, 0.95),
                                  **base))

@@ -140,7 +140,7 @@ class TestUNetMeshFit:
         model, variables = UNet3D.create(input_shape=(1, 1, 16, 16, 16))
         smesh = make_mesh((2, 4), devices=devices8)
         t = Trainer(model, _criterion(), _cfg(tmp_path, "sp"), mesh=smesh)
-        with pytest.raises(ValueError, match="pure-DP"):
+        with pytest.raises(ValueError, match="spatial sharding"):
             t.fit(variables, _batches(n=1))
 
         class _Stateful:
