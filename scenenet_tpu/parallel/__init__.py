@@ -22,6 +22,14 @@ from scenenet_tpu.parallel.gspmd import (
     make_gspmd_eval_step,
     make_gspmd_train_step,
 )
+from scenenet_tpu.parallel.pp import (
+    cnn_pipeline_params,
+    cnn_unstack_params,
+    make_pipeline_inference_fn,
+    make_pipeline_train_step,
+    make_stage_params,
+    pipeline_apply,
+)
 
 __all__ = [
     "make_hybrid_mesh",
@@ -41,4 +49,10 @@ __all__ = [
     "channel_specs",
     "make_gspmd_eval_step",
     "make_gspmd_train_step",
+    "cnn_pipeline_params",
+    "cnn_unstack_params",
+    "make_pipeline_inference_fn",
+    "make_pipeline_train_step",
+    "make_stage_params",
+    "pipeline_apply",
 ]

@@ -1,0 +1,351 @@
+"""Pipeline parallelism (PP) for straight-through conv stacks.
+
+The "pp" leg of the framework's mesh story (alongside ``data`` DP,
+``space`` spatial sharding, ``model`` ensemble/tensor parallelism): the
+DEPTH of a sequential conv stack becomes a mesh axis. Each device holds
+one stage's weights and the batch streams through the chain as
+microbatches — the classic GPipe schedule, built TPU-natively as a
+``lax.scan`` of (stage compute → ``lax.ppermute`` to the next stage)
+inside ``shard_map``, so the inter-stage activation hop rides one ICI
+link per step and XLA can overlap the permute with the next microbatch's
+conv.
+
+Applied to the reference's black-box CNN baseline
+(``core/models/CNNBaseline.py:19-109``): its two stacked same-padding
+convs (no inter-conv nonlinearity) are exactly a 2-stage pipeline. The
+GENEO SceneNet is a SINGLE fused conv (depth 1 — nothing to pipeline)
+and the UNet's skip connections make stage-sharding a poor fit next to
+its GSPMD channel-TP path (``parallel/gspmd.py``), so PP here targets
+the model family whose structure it matches, plus arbitrary-depth
+uniform conv chains (:func:`make_stage_params`).
+
+Design — uniform stages, replicated storage, stage-sharded compute:
+
+- Every stage is a same-padding C→C conv (+bias). The first conv's
+  1→C kernel is zero-embedded into a C→C kernel
+  (:func:`cnn_pipeline_params`) and the input is zero-padded to C
+  channels: padded input channels are identically zero, so the embedded
+  weights are inert — forward-exact AND gradient-exact (their grads are
+  zero, so training the stacked tree matches training the original).
+  The channel-sum + relu∘tanh head runs AFTER the pipe (elementwise,
+  negligible next to the convs).
+- Like EP, every shard carries the full stage-stacked param tree
+  (leading axis S; a few conv kernels — storage is cheap, compute is
+  what's sharded) and slices its own stage at
+  ``axis_index(stage)``; the slice's transpose scatters cotangents into
+  a zero full tree, so one collective over ``stage`` assembles the full
+  gradient (a pmean — each shard differentiates a replicated copy of the
+  assembled-prediction loss, see :func:`make_pipeline_train_step`),
+  composing with ``pmean`` over a data axis for (DP × PP).
+- Schedule: T = M + S − 1 scan steps (M microbatches, S stages). Stage
+  0 feeds microbatch t; stage S−1 writes output t−(S−1); everyone
+  ppermutes its activation to the next stage. The bubble fraction is
+  the standard (S−1)/(M+S−1) — pick M ≫ S.
+
+Exactness vs the unpipelined model (forward, gradients, and a full
+train step vs the single-device Trainer) is pinned in
+``tests/test_pipeline_parallel.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scenenet_tpu.parallel.dp import (
+    make_distributed, psum_confusion_delta,
+)
+from scenenet_tpu.parallel.mesh import ensure_replicated
+from scenenet_tpu.train.metrics import MetricState
+from scenenet_tpu.train.state import TrainState
+
+
+def make_stage_params(kernels: Sequence[jnp.ndarray],
+                      biases: Sequence[jnp.ndarray]) -> dict:
+    """Stack per-stage conv params into the pipeline's stage-major tree.
+
+    ``kernels``: S same-shape DHWIO kernels (kd, kh, kw, C, C);
+    ``biases``: S biases (C,). Returns ``{"kernel": (S, …), "bias": (S, C)}``.
+    """
+    ks = jnp.stack([jnp.asarray(k) for k in kernels])
+    bs = jnp.stack([jnp.asarray(b) for b in biases])
+    if ks.ndim != 6 or ks.shape[-1] != ks.shape[-2]:
+        raise ValueError(
+            f"pipeline stages must be uniform C→C DHWIO convs; got stacked "
+            f"kernel shape {ks.shape}")
+    return {"kernel": ks, "bias": bs}
+
+
+def cnn_pipeline_params(model, params) -> dict:
+    """CnnBaseline params → stage-stacked pipeline params (S=2).
+
+    The first conv's (kd,kh,kw,1,C) kernel is zero-embedded into a C→C
+    kernel at input channel 0; with the input zero-padded to C channels
+    (done inside the pipeline fns) the extra columns multiply zeros, so
+    the embedding is exact in value and gradient. Reference model:
+    ``core/models/CNNBaseline.py:19-61`` (two stacked convs, no
+    inter-conv activation).
+    """
+    if not getattr(model, "two_layers", False):
+        raise ValueError(
+            "pipeline parallelism needs a multi-stage stack; "
+            "CnnBaseline(two_layers=False) is a single conv")
+    k0, b0 = params["Conv_0"]["kernel"], params["Conv_0"]["bias"]
+    k1, b1 = params["Conv_1"]["kernel"], params["Conv_1"]["bias"]
+    c = k1.shape[-1]
+    if k0.shape[-2] != 1 or k1.shape[-2] != c or k0.shape[-1] != c:
+        raise ValueError(
+            f"unexpected CnnBaseline kernel shapes {k0.shape}/{k1.shape}")
+    k0_emb = jnp.zeros(k0.shape[:3] + (c, c), k0.dtype).at[..., 0, :].set(
+        k0[..., 0, :])
+    return make_stage_params([k0_emb, k1], [b0, b1])
+
+
+def cnn_unstack_params(stacked: dict) -> dict:
+    """Inverse of :func:`cnn_pipeline_params`: pipeline tree → the
+    CnnBaseline flax tree (for checkpoints / single-device eval). Slices
+    input channel 0 of stage 0 — exact because the embedded extra
+    columns receive zero gradient and stay at their zero init."""
+    k, b = stacked["kernel"], stacked["bias"]
+    return {
+        "Conv_0": {"kernel": k[0][..., :1, :], "bias": b[0]},
+        "Conv_1": {"kernel": k[1], "bias": b[1]},
+    }
+
+
+def _stage_conv(stage_params, h):
+    """One pipeline stage: same-padding C→C conv + bias (NDHWC/DHWIO —
+    flax.linen.Conv's layout, so stage weights are interchangeable with
+    the unpipelined module's)."""
+    out = lax.conv_general_dilated(
+        h, stage_params["kernel"], (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out + stage_params["bias"]
+
+
+def _cnn_head(h):
+    """CnnBaseline head: channel sum + relu∘tanh, NDHWC → NCDHW."""
+    pred = jnp.sum(h, axis=-1, keepdims=True)
+    pred = jax.nn.relu(jnp.tanh(pred))
+    return jnp.moveaxis(pred, -1, 1)
+
+
+def _lift_input(x, channels: int):
+    """(B, 1, D, H, W) → (B, D, H, W, C) with zero channel padding (the
+    stage-0 kernel embedding's counterpart)."""
+    h = jnp.moveaxis(x, 1, -1)
+    return jnp.pad(h, [(0, 0)] * 4 + [(0, channels - h.shape[-1])])
+
+
+def pipeline_apply(stacked_params, x_mb, *, stage_axis: str, n_stages: int,
+                   stage_fn: Callable = _stage_conv) -> jnp.ndarray:
+    """The GPipe schedule, run INSIDE ``shard_map`` over ``stage_axis``.
+
+    ``x_mb``: (M, mb, D, H, W, C) microbatches, replicated over the stage
+    axis (only stage 0 reads them). Returns the (M, mb, D, H, W, C)
+    final-stage activations, psum-assembled so every shard holds the full
+    result (the criterion then runs replicated, exactly like the EP
+    assembly).
+
+    T = M + S − 1 steps: at step t, stage 0 starts microbatch t (clamped
+    feeds during the drain are discarded by the write mask), stage s
+    works on microbatch t−s, stage S−1 finishes microbatch t−(S−1); the
+    activation buffer rotates one stage per step via a single-link
+    ``ppermute``. Differentiable end-to-end: the scan + ppermute
+    transposes run the reverse schedule, delivering each shard exactly
+    its stage's cotangent.
+    """
+    idx = lax.axis_index(stage_axis)
+    s = n_stages
+    m = x_mb.shape[0]
+    local = jax.tree.map(
+        lambda a: lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+        stacked_params)
+    perm = [(i, (i + 1) % s) for i in range(s)]
+    buf = jnp.zeros(x_mb.shape[1:], x_mb.dtype)
+    outputs = jnp.zeros_like(x_mb)
+
+    def body(carry, t):
+        buf, outputs = carry
+        x_t = lax.dynamic_index_in_dim(
+            x_mb, jnp.clip(t, 0, m - 1), 0, keepdims=False)
+        inp = jnp.where(idx == 0, x_t, buf)
+        out = stage_fn(local, inp)
+        write = (idx == s - 1) & (t >= s - 1)
+        o_idx = jnp.clip(t - (s - 1), 0, m - 1)
+        cur = lax.dynamic_index_in_dim(outputs, o_idx, 0, keepdims=False)
+        outputs = lax.dynamic_update_index_in_dim(
+            outputs, jnp.where(write, out, cur), o_idx, 0)
+        buf = lax.ppermute(out, stage_axis, perm)
+        return (buf, outputs), None
+
+    (buf, outputs), _ = lax.scan(
+        body, (buf, outputs), jnp.arange(m + s - 1))
+    # only the last stage holds real outputs; assemble → replicated
+    outputs = jnp.where(idx == s - 1, outputs, jnp.zeros_like(outputs))
+    return lax.psum(outputs, stage_axis)
+
+
+def _check_pipeline(mesh: Mesh, stage_axis: str, n_stages: int,
+                    n_microbatches: int):
+    if stage_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{stage_axis}' axis (axes: "
+            f"{tuple(mesh.axis_names)}); build it with "
+            f"make_mesh(..., axis_names=('data', '{stage_axis}'))")
+    if mesh.shape[stage_axis] != n_stages:
+        raise ValueError(
+            f"{n_stages} pipeline stages need a {n_stages}-wide "
+            f"'{stage_axis}' axis; mesh has {mesh.shape[stage_axis]}")
+    if n_microbatches < 1:
+        raise ValueError(f"n_microbatches must be ≥ 1, got {n_microbatches}")
+
+
+def _microbatch(h, n_microbatches: int):
+    b = h.shape[0]
+    if b % n_microbatches:
+        raise ValueError(
+            f"shard-local batch {b} not divisible into "
+            f"{n_microbatches} microbatches")
+    return h.reshape((n_microbatches, b // n_microbatches) + h.shape[1:])
+
+
+def _cnn_pipeline_forward(model, stacked, x, *, stage_axis, n_microbatches):
+    """Shard-local CnnBaseline pipelined forward: lift → microbatch →
+    pipe → head. ``x``: the shard's (B_local, 1, D, H, W) slice."""
+    c = stacked["bias"].shape[-1]
+    h = _microbatch(_lift_input(x, c), n_microbatches)
+    out = pipeline_apply(stacked, h, stage_axis=stage_axis, n_stages=2)
+    return _cnn_head(out.reshape((-1,) + out.shape[2:]))
+
+
+def make_pipeline_inference_fn(model, mesh: Mesh,
+                               n_microbatches: int = 4,
+                               batch_axis: str = "data",
+                               stage_axis: str = "stage") -> Callable:
+    """jit'd pipelined CnnBaseline forward: batch over ``data``, conv
+    depth over ``stage``. Takes the STACKED params
+    (:func:`cnn_pipeline_params`); returns the full (B, 1, D, H, W)
+    prediction, equal to the unpipelined ``model.apply``."""
+    _check_pipeline(mesh, stage_axis, 2, n_microbatches)
+    has_data = batch_axis in mesh.shape
+    x_spec = P(batch_axis if has_data else None, None, None, None, None)
+
+    def local_fwd(stacked, x):
+        return _cnn_pipeline_forward(model, stacked, x,
+                                     stage_axis=stage_axis,
+                                     n_microbatches=n_microbatches)
+
+    fwd = jax.jit(shard_map(
+        local_fwd, mesh=mesh, in_specs=(P(), x_spec), out_specs=x_spec,
+        check_vma=False))
+    in_sharding = NamedSharding(mesh, x_spec)
+
+    def run(stacked, x):
+        x = jnp.asarray(x)
+        if has_data and x.shape[0] % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by mesh "
+                f"'{batch_axis}' axis ({mesh.shape[batch_axis]})")
+        return fwd(stacked, jax.device_put(x, in_sharding))
+
+    run.forward = fwd
+    run.in_sharding = in_sharding
+    return run
+
+
+def make_pipeline_train_step(
+    model,
+    criterion,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    n_microbatches: int = 4,
+    tau: float = 0.65,
+    batch_axis: str = "data",
+    stage_axis: str = "stage",
+    with_grads: bool = False,
+    compiler_options: dict | None = None,
+) -> Callable:
+    """Full (DP × PP) train step for the CnnBaseline: jit'd
+    ``step(state, mstate, x, y) -> (state, mstate, loss[, grads])`` —
+    the contract of :func:`parallel.dp.make_sharded_train_step`, with
+    ``state.params`` being the stage-stacked tree
+    (:func:`cnn_pipeline_params`; map back with
+    :func:`cnn_unstack_params`).
+
+    Loss/metric algebra: the assembled prediction is replicated over the
+    stage axis, so the distributed criterion reduces over ``data`` only;
+    grads pmean over ``stage`` (slice-transpose assembly of S replicated
+    loss copies — see the in-code note) then pmean over ``data``;
+    confusion counts psum over ``data`` only. The optimizer update runs replicated on the
+    stacked tree — the embedded inert weights get zero gradient, so
+    training the stacked tree is exactly training the original model.
+    """
+    _check_pipeline(mesh, stage_axis, 2, n_microbatches)
+    has_data = batch_axis in mesh.shape
+    data_axes = (batch_axis,) if has_data else ()
+    data_size = mesh.shape.get(batch_axis, 1)
+    dist_criterion = make_distributed(criterion, data_axes)
+    jit = (functools.partial(jax.jit, compiler_options=compiler_options)
+           if compiler_options else jax.jit)
+
+    def local_step(state: TrainState, mstate: MetricState, x, y):
+        def loss_fn(stacked):
+            pred = _cnn_pipeline_forward(model, stacked, x,
+                                         stage_axis=stage_axis,
+                                         n_microbatches=n_microbatches)
+            loss = dist_criterion(pred, y, {}, {}, None)
+            return loss, pred
+
+        (loss, pred), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # Assembly over the stage axis is a pmean, NOT the psum EP uses:
+        # the loss here is computed from the psum-ASSEMBLED prediction, so
+        # every shard differentiates a full replicated copy of the global
+        # loss, and all S copies' cotangents flow back through the psum /
+        # ppermute transposes to each stage's slice — each shard's local
+        # grad is already S× the true gradient at its own slice (and zero
+        # elsewhere). pmean = psum/S lands exactly the true full gradient
+        # (measured: psum here gives exactly 2× on a 2-stage mesh). EP's
+        # psum is correct there because its shard-local losses are
+        # PARTIAL member contributions, not replicated copies.
+        grads = lax.pmean(grads, stage_axis)
+        if has_data:
+            grads = lax.pmean(grads, batch_axis)
+            loss = lax.pmean(loss, batch_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        mstate = psum_confusion_delta(mstate, pred, y, tau, data_axes)
+        if with_grads:
+            return new_state, mstate, loss, grads
+        return new_state, mstate, loss
+
+    x_spec = P(batch_axis if has_data else None, None, None, None, None)
+    out_specs = (P(), P(), P()) + ((P(),) if with_grads else ())
+    jit_step = jit(shard_map(
+        local_step, mesh=mesh, in_specs=(P(), P(), x_spec, x_spec),
+        out_specs=out_specs, check_vma=False))
+    sharding = NamedSharding(mesh, x_spec)
+
+    def step(state, mstate, x, y):
+        state, mstate = ensure_replicated((state, mstate), mesh)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if x.shape[0] % (data_size * n_microbatches):
+            raise ValueError(
+                f"batch {x.shape[0]} must divide into "
+                f"{data_size} data shards × {n_microbatches} microbatches")
+        x = jax.device_put(x, sharding)
+        y = jax.device_put(y, sharding)
+        return jit_step(state, mstate, x, y)
+
+    step._jits = lambda: [jit_step]  # test hook (single-compile guarantee)
+    return step
