@@ -261,7 +261,15 @@ def main():
     s_state, s_m, s_loss, _ = gstep(ustate, init_metric_state(), x, y)
     p_state, p_m, p_loss = u_plain(ustate, init_metric_state(),
                                    jnp.asarray(x), jnp.asarray(y))
-    ms_g = _time_chained(gstep, ustate, init_metric_state(), (x, y))
+    # pre-place BOTH sides' batches (the GSPMD side gets the annotated
+    # batch sharding) — otherwise the sharded loop re-uploads ~33 MB of
+    # host numpy per timed call through the tunnel and the overhead
+    # column measures the wire, not the partitioner
+    from jax.sharding import NamedSharding, PartitionSpec as GP
+
+    gx = jax.device_put(jnp.asarray(x), NamedSharding(gmesh, GP("data")))
+    gy = jax.device_put(jnp.asarray(y), NamedSharding(gmesh, GP("data")))
+    ms_g = _time_chained(gstep, ustate, init_metric_state(), (gx, gy))
     ms_gp = _time_chained(u_plain, ustate, init_metric_state(),
                           (jnp.asarray(x), jnp.asarray(y)))
     _report("tp(gspmd) unet 64³ b16", ms_g, ms_gp, float(s_loss),

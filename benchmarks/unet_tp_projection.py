@@ -63,6 +63,9 @@ def main():
                          "rest scale analytically by MACs (measured layers "
                          "cover the bulk of the step)")
     args = ap.parse_args()
+    # m=1 is the projection's baseline AND the replicated-tail fill for
+    # unshardable layers — always measure it, whatever --shards says
+    args.shards = sorted(set(args.shards) | {1})
 
     _enable_compile_cache()
     import jax
@@ -132,6 +135,8 @@ def main():
         pairs = [(macs(s, cin, cout) / m, rows[n][m])
                  for n, s, cin, cout in LAYERS
                  if n in measured_set and rows[n][m] is not None]
+        if not pairs:  # m shards nothing measurable (e.g. very wide m):
+            continue   # every layer falls to the replicated-tail branch
         rate = sum(p[0] for p in pairs) / max(sum(p[1] for p in pairs), 1e-9)
         for n, s, cin, cout in LAYERS:
             if rows[n][m] is None and cout % m == 0 and cout // m >= 8:

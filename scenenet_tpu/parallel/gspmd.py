@@ -47,8 +47,7 @@ call requires — one cache key, no double compile (the failure mode
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +88,39 @@ def channel_shardings(tree, mesh: Mesh, axis: str = "model"):
 
 def _replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def _check_shardable(params, mesh: Mesh, model_axis: str):
+    """Loud guard: a >1 ``model`` axis must actually shard SOMETHING.
+    Otherwise every parameter silently replicates and the model-axis
+    devices do redundant identical work — the exact
+    declared-but-inert-knob failure mode this framework bans. Hit by
+    (a) models with no channel structure (SceneNet's scalar params) and
+    (b) a ``mesh_channel`` that divides no channel width (e.g. 3 on the
+    32/64/128/256 UNet ladder)."""
+    m = int(mesh.shape.get(model_axis, 1))
+    if m <= 1:
+        return
+    specs = jax.tree.leaves(
+        channel_specs(params, mesh, model_axis),
+        is_leaf=lambda s: isinstance(s, P))
+    if not any(model_axis in (s or ()) for s in specs):
+        raise ValueError(
+            f"channel TP over a {m}-wide '{model_axis}' axis shards NO "
+            "parameter of this model — every channel width must be "
+            f"divisible by {m} for at least one conv kernel / channel "
+            "vector. Use a divisor of the model's channel widths, or a "
+            "mesh without a model axis (SceneNet-family scalar-parameter "
+            "models have no channel dimension to shard — use data/space/"
+            "ensemble axes for them).")
+
+
+def _check_batch_divisible(batch, data_size: int, data_axis: str):
+    b = jnp.shape(batch[0])[0]
+    if b % data_size:
+        raise ValueError(
+            f"batch {b} not divisible by mesh '{data_axis}' axis "
+            f"({data_size}); use drop_last or a divisible batch size")
 
 
 def _ensure_placed(tree, shardings):
@@ -188,9 +220,12 @@ def make_gspmd_train_step(
         return new_state, mstate, loss, grads
 
     box: dict = {}
+    data_size = int(mesh.shape.get(data_axis, 1))
 
     def step(state: TrainState, mstate: MetricState, *batch):
+        _check_batch_divisible(batch, data_size, data_axis)
         if "fn" not in box:
+            _check_shardable(state.params, mesh, model_axis)
             s_state = channel_shardings(state, mesh, model_axis)
             s_m = _replicated(mstate, mesh)
             s_batch = tuple(NamedSharding(mesh, P(data_axis)) for _ in batch)
@@ -243,21 +278,33 @@ def make_gspmd_eval_step(
         return mstate, loss, pred
 
     box: dict = {}
+    data_size = int(mesh.shape.get(data_axis, 1))
 
     def step(params, model_state, mstate: MetricState, *batch):
-        if "fn" not in box:
+        # ragged tails (val/test loaders don't drop_last): a batch whose
+        # leading dim doesn't divide the data axis cannot be batch-sharded
+        # — fall back to a batch-REPLICATED variant (same logical program;
+        # under GSPMD the annotations only constrain layout, so the
+        # replicated-input program computes identical counts/loss), the
+        # same rule as the dp/ep eval twins
+        divisible = jnp.shape(batch[0])[0] % data_size == 0
+        key = "fn" if divisible else "fn_rep"
+        if key not in box:
+            if not box:
+                _check_shardable(params, mesh, model_axis)
             s_p = channel_shardings(params, mesh, model_axis)
             s_ms = channel_shardings(model_state, mesh, model_axis)
             s_m = _replicated(mstate, mesh)
-            s_batch = tuple(NamedSharding(mesh, P(data_axis)) for _ in batch)
+            b_spec = P(data_axis) if divisible else P()
+            s_batch = tuple(NamedSharding(mesh, b_spec) for _ in batch)
             jkw: dict = dict(
                 in_shardings=(s_p, s_ms, s_m) + s_batch,
                 out_shardings=(s_m, NamedSharding(mesh, P()),
-                               NamedSharding(mesh, P(data_axis))),
+                               NamedSharding(mesh, b_spec)),
             )
             if compiler_options:
                 jkw["compiler_options"] = compiler_options
-            box["fn"] = jax.jit(body, **jkw)
+            box[key] = jax.jit(body, **jkw)
             box["put"] = (s_p, s_ms, s_m)
         # single-compile: commit inputs to the annotated shardings (see
         # the train step's note) — params usually arrive already committed
@@ -267,7 +314,7 @@ def make_gspmd_eval_step(
         if model_state is not None:
             model_state = _ensure_placed(model_state, s_ms)
         mstate = _ensure_placed(mstate, s_m)
-        return box["fn"](params, model_state, mstate, *batch)
+        return box[key](params, model_state, mstate, *batch)
 
-    step._jits = lambda: [box["fn"]] if "fn" in box else []
+    step._jits = lambda: [box[k] for k in ("fn", "fn_rep") if k in box]
     return step

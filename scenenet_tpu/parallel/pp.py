@@ -194,7 +194,11 @@ def pipeline_apply(stacked_params, x_mb, *, stage_axis: str, n_stages: int,
 
 
 def _check_pipeline(mesh: Mesh, stage_axis: str, n_stages: int,
-                    n_microbatches: int):
+                    n_microbatches: int, model=None):
+    if model is not None and not getattr(model, "two_layers", False):
+        raise ValueError(
+            "pipeline parallelism needs a multi-stage stack; "
+            f"{type(model).__name__}(two_layers=False) is a single conv")
     if stage_axis not in mesh.shape:
         raise ValueError(
             f"mesh has no '{stage_axis}' axis (axes: "
@@ -217,9 +221,10 @@ def _microbatch(h, n_microbatches: int):
     return h.reshape((n_microbatches, b // n_microbatches) + h.shape[1:])
 
 
-def _cnn_pipeline_forward(model, stacked, x, *, stage_axis, n_microbatches):
+def _cnn_pipeline_forward(stacked, x, *, stage_axis, n_microbatches):
     """Shard-local CnnBaseline pipelined forward: lift → microbatch →
-    pipe → head. ``x``: the shard's (B_local, 1, D, H, W) slice."""
+    pipe → head, rebuilt entirely from the stacked stage params.
+    ``x``: the shard's (B_local, 1, D, H, W) slice."""
     c = stacked["bias"].shape[-1]
     h = _microbatch(_lift_input(x, c), n_microbatches)
     out = pipeline_apply(stacked, h, stage_axis=stage_axis, n_stages=2)
@@ -234,13 +239,12 @@ def make_pipeline_inference_fn(model, mesh: Mesh,
     depth over ``stage``. Takes the STACKED params
     (:func:`cnn_pipeline_params`); returns the full (B, 1, D, H, W)
     prediction, equal to the unpipelined ``model.apply``."""
-    _check_pipeline(mesh, stage_axis, 2, n_microbatches)
+    _check_pipeline(mesh, stage_axis, 2, n_microbatches, model=model)
     has_data = batch_axis in mesh.shape
     x_spec = P(batch_axis if has_data else None, None, None, None, None)
 
     def local_fwd(stacked, x):
-        return _cnn_pipeline_forward(model, stacked, x,
-                                     stage_axis=stage_axis,
+        return _cnn_pipeline_forward(stacked, x, stage_axis=stage_axis,
                                      n_microbatches=n_microbatches)
 
     fwd = jax.jit(shard_map(
@@ -288,7 +292,7 @@ def make_pipeline_train_step(
     stacked tree — the embedded inert weights get zero gradient, so
     training the stacked tree is exactly training the original model.
     """
-    _check_pipeline(mesh, stage_axis, 2, n_microbatches)
+    _check_pipeline(mesh, stage_axis, 2, n_microbatches, model=model)
     has_data = batch_axis in mesh.shape
     data_axes = (batch_axis,) if has_data else ()
     data_size = mesh.shape.get(batch_axis, 1)
@@ -298,7 +302,7 @@ def make_pipeline_train_step(
 
     def local_step(state: TrainState, mstate: MetricState, x, y):
         def loss_fn(stacked):
-            pred = _cnn_pipeline_forward(model, stacked, x,
+            pred = _cnn_pipeline_forward(stacked, x,
                                          stage_axis=stage_axis,
                                          n_microbatches=n_microbatches)
             loss = dist_criterion(pred, y, {}, {}, None)

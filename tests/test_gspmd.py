@@ -224,6 +224,67 @@ class TestGspmdStep:
                                    rtol=1e-5, atol=1e-6)
         assert np.isfinite(float(eloss))
 
+    def test_eval_ragged_tail_falls_back_replicated(self, devices8):
+        """A val/test tail batch whose leading dim doesn't divide the data
+        axis (loaders don't drop_last) must not crash — it falls back to a
+        batch-replicated program with identical results."""
+        model, params = CnnBaseline.create(conv_num=4, kernel_size=(3, 3, 3),
+                                           input_shape=(1, 1, 16, 16, 16))
+        crit = _criterion()
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        estep = make_gspmd_eval_step(model, crit, mesh)
+        (x, y), = _batches(n=1, b=8)
+        x, y = x[:5], y[:5]  # 5 % 2 != 0 → ragged
+        ref_pred = jax.jit(model.apply)(params, x)
+        ref_loss = crit(ref_pred, y, {}, {}, None)
+        mstate, eloss, pred = estep(params, None, init_metric_state(), x, y)
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(ref_pred),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(eloss) == pytest.approx(float(ref_loss), rel=1e-4)
+
+    def test_unshardable_model_axis_rejected(self, devices8):
+        """A >1 model axis that shards NO parameter (scalar-parameter
+        models, or a mesh_channel dividing no channel width) must fail
+        loudly instead of silently replicating — both steps."""
+        from scenenet_tpu.models import SceneNet
+
+        net, params = SceneNet.create(
+            {"cy": 1, "cone": 1, "neg": 1}, kernel_size=(9, 5, 5), seed=0)
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        crit = _criterion()
+        state, tx = create_train_state(params, "sgd", 1e-2, None)
+        step = make_gspmd_train_step(net, crit, tx, mesh)
+        (x, y), = _batches(n=1, b=8)
+        with pytest.raises(ValueError, match="shards NO parameter"):
+            step(state, init_metric_state(), x, y)
+        estep = make_gspmd_eval_step(net, crit, mesh)
+        with pytest.raises(ValueError, match="shards NO parameter"):
+            estep(params, None, init_metric_state(), x, y)
+        # ... and a non-divisor mesh_channel on a real conv stack: a
+        # 3-wide model axis divides none of CnnBaseline's widths (C=4)
+        mesh3 = make_mesh((1, 3), axis_names=("data", "model"),
+                          devices=devices8[:3])
+        model, cparams = CnnBaseline.create(
+            conv_num=4, kernel_size=(3, 3, 3),
+            input_shape=(1, 1, 16, 16, 16))
+        cstate, ctx = create_train_state(cparams, "sgd", 1e-2, None)
+        cstep = make_gspmd_train_step(model, crit, ctx, mesh3)
+        with pytest.raises(ValueError, match="shards NO parameter"):
+            cstep(cstate, init_metric_state(), x, y)
+
+    def test_train_step_rejects_indivisible_batch(self, devices8):
+        model, params = CnnBaseline.create(conv_num=4, kernel_size=(3, 3, 3),
+                                           input_shape=(1, 1, 16, 16, 16))
+        mesh = make_mesh((2, 4), axis_names=("data", "model"),
+                         devices=devices8)
+        state, tx = create_train_state(params, "sgd", 1e-2, None)
+        step = make_gspmd_train_step(model, _criterion(), tx, mesh)
+        (x, y), = _batches(n=1, b=8)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, init_metric_state(), x[:5], y[:5])
+
     def test_bf16_matches_single_device_bf16(self, devices8):
         """precision='bf16' under GSPMD follows the same cast rule as the
         single-device Trainer (bf16 forward, f32 masters + f32 loss)."""

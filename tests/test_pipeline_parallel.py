@@ -87,7 +87,7 @@ class TestParamMapping:
 
             def body(st, x, y):
                 pred = _cnn_pipeline_forward(
-                    model, st, x, stage_axis="stage", n_microbatches=2)
+                    st, x, stage_axis="stage", n_microbatches=2)
                 return crit(pred, y, {}, {}, None)
 
             return jax.jit(shard_map(
