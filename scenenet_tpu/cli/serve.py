@@ -232,7 +232,7 @@ class _MicroBatcher:
         self.window = max(window_ms, 0.0) / 1e3
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "dispatches": 0,
-                      "max_batch_seen": 0}
+                      "max_batch_seen": 0, "failed_dispatches": 0}
         self._pipeline = pipeline
         self._q: "queue.Queue" = queue.Queue()
         self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
@@ -262,8 +262,13 @@ class _MicroBatcher:
 
     @staticmethod
     def _fail(batch, exc):
+        # per-slot exception instances: multiple handler threads re-raise
+        # concurrently, and `raise` mutates the exception's __traceback__ —
+        # sharing one instance produces confusing cross-request tracebacks
         for _, _, slot in batch:
-            slot["exc"] = exc
+            wrapped = RuntimeError(f"batched inference failed: {exc!r}")
+            wrapped.__cause__ = exc
+            slot["exc"] = wrapped
             slot["done"].set()
 
     def _dispatch_loop(self):
@@ -291,11 +296,6 @@ class _MicroBatcher:
                 # host bytes cross the wire for the padding rows' upload
                 rows_p = [b[0] for b in batch] + [batch[0][0]] * (bucket - n)
                 rows_m = [b[1] for b in batch] + [batch[0][1]] * (bucket - n)
-                with self._stats_lock:  # healthz snapshots under this lock
-                    self.stats["requests"] += n
-                    self.stats["dispatches"] += 1
-                    self.stats["max_batch_seen"] = max(
-                        self.stats["max_batch_seen"], n)
                 pred, probs = self._pipeline._run_batch(
                     self._pipeline.params, jnp.stack(rows_p),
                     jnp.stack(rows_m))
@@ -303,7 +303,17 @@ class _MicroBatcher:
                 # results cross the wire at fetch time (the full-bucket
                 # fetch was measured 2.5x the live bytes)
                 pred, probs = pred[:n], probs[:n]
+                # stats AFTER the dispatch call succeeds: a batch that
+                # fails tracing/shape checks must not count as served work
+                # (healthz would overstate requests/avg-batch after errors)
+                with self._stats_lock:  # healthz snapshots under this lock
+                    self.stats["requests"] += n
+                    self.stats["dispatches"] += 1
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], n)
             except Exception as exc:  # trace/shape errors surface here
+                with self._stats_lock:
+                    self.stats["failed_dispatches"] += 1
                 self._fail(batch, exc)
                 continue
             # async values: hand to the fetcher and go collect the next

@@ -81,6 +81,70 @@ class TestDataset:
         assert y.sum() > 0  # pole cluster shows up in GT
 
 
+class TestKittiShapeEndToEnd:
+    def test_voxelize_pallas_conv_metrics_64x64x256(self, kitti_root, tmp_path):
+        """KITTI-shape receipt (VERDICT r3 #4): the reference's exact KITTI
+        voxel config — vxg (64, 64, 256), ``semKITTI.py:453-454`` — with
+        NON-CUBIC (9,5,5) kernels (incl. the live neg_sphere, whose
+        non-cubic geometry is pinned by the independent golden) through
+        voxelize → pallas stencil conv → confusion metrics. The pallas
+        route must match the XLA apply and the metrics must match a numpy
+        recomputation."""
+        import jax.numpy as jnp
+
+        from scenenet_tpu.models import SceneNet
+        from scenenet_tpu.ops.pallas_conv import scenenet_forward_pallas
+        from scenenet_tpu.ops.voxelize import voxelize_batch
+        from scenenet_tpu.train.metrics import (
+            init_metric_state, metric_counts, update_metrics,
+        )
+
+        out = str(tmp_path / "crops_e2e")
+        build_pole_radius_samples(kitti_root, out)
+        ds = SemanticKITTICrops(out, split="samples")
+
+        grid = (64, 64, 256)
+        max_points = 4096
+        b = min(len(ds), 2)
+        pts = np.zeros((b, max_points, 3), np.float32)
+        labels = np.zeros((b, max_points), np.int32)
+        mask = np.zeros((b, max_points), bool)
+        for i in range(b):
+            xyz, lab = ds[i]
+            xyz = np.asarray(xyz).reshape(-1, 3)
+            lab = np.asarray(lab).reshape(-1)
+            n = min(len(xyz), max_points)
+            pts[i, :n] = xyz[:n] - xyz[:n].min(0)
+            labels[i, :n] = lab[:n]
+            mask[i, :n] = True
+
+        hist, reg = voxelize_batch(jnp.asarray(pts), jnp.asarray(labels),
+                                   jnp.asarray(mask), (POLE_LABEL,), grid)
+        assert hist.shape == (b, 256, 64, 64)  # (B, n_z, n_x, n_y)
+        x = (hist > 0).astype(jnp.float32)[:, None]
+        y = (reg > 0).astype(jnp.float32)[:, None]
+        assert float(x.sum()) > 0 and float(y.sum()) > 0
+
+        net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
+                                      kernel_size=(9, 5, 5), seed=0)
+        net_p = SceneNet(geneo_num=net.geneo_num,
+                         kernel_size=net.kernel_size, version=net.version,
+                         last_lambda=net.last_lambda, backend="pallas")
+        ref = net.apply(params, x)
+        pred = scenenet_forward_pallas(net_p, params, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        state = update_metrics(init_metric_state(), pred, y, 0.65)
+        tp, fp, fn, tn = metric_counts(state)
+        p = np.asarray(pred) >= 0.65
+        t = np.asarray(y) >= 0.5
+        assert (tp, fp, fn, tn) == (
+            int((p & t).sum()), int((p & ~t).sum()),
+            int((~p & t).sum()), int((~p & ~t).sum()))
+        assert tp + fp + fn + tn == b * np.prod(grid)
+
+
 class TestPoleETL:
     def test_build_and_load_crops(self, kitti_root, tmp_path):
         out = str(tmp_path / "crops")

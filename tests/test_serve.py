@@ -236,6 +236,49 @@ class TestMicroBatching:
         # ≤2: scheduling can split the pair across windows on loaded CI
         assert ep_batched._batcher.stats_snapshot()["dispatches"] <= 2
 
+    def test_failed_dispatch_per_slot_exceptions_and_stats(self):
+        """A failing batched dispatch (a) raises a DISTINCT exception
+        instance in each waiting handler thread (concurrent `raise`
+        mutates __traceback__ — a shared instance produces cross-request
+        tracebacks) and (b) counts as failed_dispatches, NOT as served
+        requests/dispatches (healthz must not overstate work)."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        batched = _Pipeline(None, grid=(16, 16, 16), max_points=2048,
+                            max_batch=4, batch_window_ms=300.0)
+        boom = ValueError("injected trace failure")
+
+        def failing_run_batch(params, pts, mask):
+            raise boom
+
+        batched._run_batch = failing_run_batch
+        rng = np.random.default_rng(5)
+        clouds = [rng.uniform(0, 20, (600 + 50 * i, 3)).astype(np.float32)
+                  for i in range(3)]
+        caught = [None] * 3
+
+        def worker(i):
+            try:
+                batched.predict(clouds[i])
+            except Exception as exc:
+                caught[i] = exc
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert all(c is not None for c in caught)
+        # distinct instances, each chained to the original error
+        assert len({id(c) for c in caught}) == 3
+        assert all(c.__cause__ is boom for c in caught)
+        stats = batched._batcher.stats_snapshot()
+        assert stats["failed_dispatches"] >= 1
+        assert stats["requests"] == 0
+        assert stats["dispatches"] == 0
+
     def test_http_healthz_reports_batching(self):
         from scenenet_tpu.cli.serve import _Pipeline, make_handler
 
