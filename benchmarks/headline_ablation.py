@@ -94,11 +94,23 @@ def main():
                   lambda i, g: prob_to_label(
                       net.apply(params, g + i * 0.0, inference=True), 0.65),
                   grids0)
-    t_all = timed("full_pipeline",
+    # the current headline conv (round 3+): banded-y MXU stencil, split
+    # hi+lo residual pair ("mxu") and the single-bf16 mask-only contract
+    # ("mxu_fast")
+    t_mxu = timed("conv_forward_mask_mxu",
+                  lambda i, g: prob_to_label(
+                      net.apply(params, g + i * 0.0, inference="mxu"), 0.65),
+                  grids0)
+    t_mxu_fast = timed("conv_forward_mask_mxu_fast",
+                       lambda i, g: prob_to_label(
+                           net.apply(params, g + i * 0.0,
+                                     inference="mxu_fast"), 0.65),
+                       grids0)
+    t_all = timed("full_pipeline_mxu",
                   lambda i, p, m: prob_to_label(
                       net.apply(params,
                                 voxelize_batch_occupancy(p + i * 1e-7, m, GRID)[:, None],
-                                inference=True), 0.65),
+                                inference="mxu"), 0.65),
                   ptsd, md)
 
     # nominal floors
@@ -110,16 +122,31 @@ def main():
     vox_floor = macs / S8_TOPS
     vol_bytes = BATCH * size * 4
     conv_floor = (1.5 * vol_bytes + vol_bytes) / HBM_BPS
+    # banded-y MXU conv ISSUED MACs (kp=128-padded K, N=yy): per sample,
+    # k_x · k_z dots of (z·xx, 128) @ (128, yy) per split level
+    k_z, k_x, k_y = 9, 5, 5
+    z = xx = yy = GRID[0]
+    kp = 128
+    mxu_macs_level = BATCH * k_x * k_z * (z * xx) * kp * yy
+    bf16_macs_s = S8_TOPS / 2 / 2  # 197 TF/s bf16 = 98.5 T MACs/s
+    mxu_floor_split = 2 * mxu_macs_level / bf16_macs_s  # hi + lo dots
+    mxu_floor_single = mxu_macs_level / bf16_macs_s
     print(json.dumps({
         "tag": "roofline",
         "vox_floor_ms": round(vox_floor * 1e3, 2),
         "vox_achieved_x_floor": round(t_vox / vox_floor, 2),
         "conv_floor_ms": round(conv_floor * 1e3, 2),
         "conv_achieved_x_floor": round(t_fwd / conv_floor, 2),
-        "stage_sum_ms": round((t_vox + t_fwd) * 1e3, 2),
+        "mxu_issued_floor_ms": round(mxu_floor_split * 1e3, 2),
+        "mxu_achieved_x_issued_floor": round(t_mxu / mxu_floor_split, 2),
+        "mxu_fast_issued_floor_ms": round(mxu_floor_single * 1e3, 2),
+        "mxu_fast_achieved_x_issued_floor": round(
+            t_mxu_fast / mxu_floor_single, 2),
+        "stage_sum_ms": round((t_vox + t_mxu) * 1e3, 2),
         "pipeline_ms": round(t_all * 1e3, 2),
         "live_points_m": round(n_live_pts / 1e6, 2),
         "hist_macs_t": round(macs / 1e12, 2),
+        "mxu_issued_macs_t": round(2 * mxu_macs_level / 1e12, 2),
     }), flush=True)
 
 
