@@ -46,6 +46,19 @@ LRS = tuple(float(s) for s in
 OUT_JSON = os.path.join(os.path.dirname(__file__), "kfold_results.json")
 
 
+def _definite(obj):
+    """Recursively replace non-finite floats with None: ``json.dump``'s
+    default ``allow_nan=True`` emits bare ``NaN`` tokens that are invalid
+    strict JSON (jq/JSON.parse choke — ADVICE r4)."""
+    if isinstance(obj, dict):
+        return {k: _definite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_definite(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def _enable_compile_cache():
     import jax
 
@@ -173,6 +186,12 @@ def run_one(model_name, lr, fold, seed, xs, ys, log):
                 augment=False, key=jax.random.PRNGKey(seed),
                 val_loader=val_b)
         print(f"[kfold] fit done in {time.time() - t0:.1f}s", flush=True)
+        # Root cause of r4's fold-0 "NaN best_val_fbeta / restore failed"
+        # row: the round-end SIGTERM preempted the fit mid-first-epoch, so
+        # fit() returned an EMPTY best dict (every best_* NaN) and no
+        # checkpoint existed. Flag such runs so the summary can exclude
+        # them instead of averaging a half-trained net in silently.
+        preempted = bool(getattr(trainer, "preempted", False))
         best_val = float(best.get("val_FBetaScore", float("nan")))
         used = "best:val_FBetaScore"
         try:
@@ -183,7 +202,7 @@ def run_one(model_name, lr, fold, seed, xs, ys, log):
         scores = trainer.evaluate(sel, test_b, prefix="test")
         scores = {k: float(v) for k, v in scores.items()}
         rec = dict(model=model_name, lr=lr, fold=fold, seed=seed,
-                   best_val_fbeta=best_val, ckpt=used,
+                   best_val_fbeta=best_val, ckpt=used, preempted=preempted,
                    best_train_f1=float(best.get("train_F1Score", float("nan"))),
                    best_train_fbeta=float(best.get("train_FBetaScore", float("nan"))),
                    **scores)
@@ -219,10 +238,15 @@ def main():
         for fold in range(4):
             for seed in SEEDS:
                 if fold == 0 and seed == 0:
-                    # reuse the probe run at the chosen lr
-                    rows.append(next(p for p in probe if p["lr"] == best_lr))
-                    continue
+                    # reuse the probe run at the chosen lr (guard: best_lr
+                    # may be the 1e-3 fallback and absent from KFOLD_LRS)
+                    reuse = [p for p in probe if p["lr"] == best_lr]
+                    if reuse:
+                        rows.append(reuse[0])
+                        continue
                 rows.append(run_one(m, best_lr, fold, seed, xs, ys, log=log))
+        n_preempted = sum(1 for r in rows if r.get("preempted"))
+        rows = [r for r in rows if not r.get("preempted")]
         f1 = np.array([r["test_F1Score"] for r in rows])
         fb = np.array([r["test_FBetaScore"] for r in rows])
         prec = np.array([r["test_Precision"] for r in rows])
@@ -233,12 +257,25 @@ def main():
             test_fbeta_mean=float(fb.mean()), test_fbeta_std=float(fb.std()),
             test_precision_mean=float(prec.mean()),
             test_recall_mean=float(rec_.mean()),
-            collapsed_runs=int(np.sum((prec == 0) & (rec_ == 0))),
+            # degenerate = all-negative collapse (P=R=0), all-positive
+            # collapse (R≈1 at near-zero P), or any test F1 < 0.01
+            collapsed_runs=int(np.sum(
+                ((prec == 0) & (rec_ == 0))
+                | ((rec_ > 0.99) & (prec < 0.01))
+                | (f1 < 0.01))),
+            restore_failed_runs=int(sum(
+                1 for r in rows if not str(r["ckpt"]).startswith("best"))),
+            preempted_runs_excluded=int(n_preempted),
+            lr_selection=("global, chosen on fold-0 val (crops 3-5, which "
+                          "are fold-1's test crops — a mild cross-fold "
+                          "leak, noted per ADVICE r4)"),
         )
         print("[kfold] summary " + json.dumps({m: summary[m]}), flush=True)
         with open(OUT_JSON, "w") as fh:
-            json.dump(dict(summary=summary, runs=results), fh, indent=1)
-    print("[kfold] DONE " + json.dumps(summary), flush=True)
+            json.dump(_definite(dict(summary=summary, runs=results)), fh,
+                      indent=1)
+            fh.write("\n")
+    print("[kfold] DONE " + json.dumps(_definite(summary)), flush=True)
 
 
 if __name__ == "__main__":

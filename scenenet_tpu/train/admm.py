@@ -332,9 +332,17 @@ class ADMMTrainer:
         return self._plain().predict(params, loader)
 
     def restore_best(self, metric: str, template):
+        import warnings
+
         from scenenet_tpu.train.checkpoint import restore_checkpoint
 
         path = self._ckpt.best_path(metric)
         if path is None:
+            last = self._ckpt.last_path()
+            if last is not None:
+                warnings.warn(
+                    f"no checkpoint recorded for {metric!r}; restoring "
+                    f"last.npz instead")
+                return restore_checkpoint(last, template)
             raise FileNotFoundError(f"no checkpoint recorded for {metric}")
         return restore_checkpoint(path, template)

@@ -12,7 +12,9 @@ any params pytree (SceneNet scalars, flax UNet variables, optimizer state).
 from __future__ import annotations
 
 import json
+import math
 import os
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -85,19 +87,42 @@ class CheckpointManager:
         self.top_k = top_k
         self.save_last = save_last
         self.best: Dict[str, List[Tuple[float, str]]] = {m: [] for m in monitors}
+        self._warned: set = set()
+        self._seen: set = set()
         os.makedirs(directory, exist_ok=True)
 
     def _better(self, metric: str, a: float, b: float) -> bool:
         return a > b if self.monitors[metric] == "max" else a < b
 
+    def _warn_once(self, metric: str, what: str) -> None:
+        if metric not in self._warned:
+            self._warned.add(metric)
+            warnings.warn(
+                f"checkpoint monitor {metric!r} {what}; no checkpoint will be "
+                f"recorded for it this epoch (warning once)", stacklevel=3)
+
     def step(self, tree: Any, scores: Dict[str, float], step: int) -> List[str]:
         """Record new scores; save checkpoints that enter a top-k. Returns
-        the paths written."""
+        the paths written.
+
+        Non-finite scores are never admitted to a top-k: a NaN first epoch
+        used to be accepted (``len(ranked) < top_k``) and then ``_better``
+        returned False against NaN forever, silently blocking every real
+        later checkpoint for that metric (the kfold fold-0 failure,
+        VERDICT r4 weak #3)."""
         written = []
         for metric, mode in self.monitors.items():
             if metric not in scores:
+                # absent monitors are normal for val-less fits — only warn
+                # when a metric that WAS being recorded disappears mid-fit
+                if metric in self._seen:
+                    self._warn_once(metric, "disappeared from the epoch scores")
                 continue
+            self._seen.add(metric)
             score = float(scores[metric])
+            if not math.isfinite(score):
+                self._warn_once(metric, f"is non-finite ({score})")
+                continue
             ranked = self.best[metric]
             if len(ranked) < self.top_k or self._better(metric, score, ranked[-1][0]):
                 fname = os.path.join(self.directory, f"{metric}_step{step}.npz")
@@ -120,6 +145,12 @@ class CheckpointManager:
     def best_path(self, metric: str) -> Optional[str]:
         ranked = self.best.get(metric)
         return ranked[0][1] if ranked else None
+
+    def last_path(self) -> Optional[str]:
+        """Path of the ``last`` snapshot if one was written (the explicit
+        fallback when a monitored metric never produced a finite score)."""
+        p = os.path.join(self.directory, "last.npz")
+        return p if os.path.exists(p) else None
 
     def best_score(self, metric: str) -> Optional[float]:
         ranked = self.best.get(metric)

