@@ -23,6 +23,11 @@ the f32 production kernel) before timing. One JSON line per result.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import os

@@ -19,6 +19,11 @@ Prints one JSON line per measurement (honest fori_loop timing).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -20,6 +20,11 @@ Usage: python benchmarks/epoch_rehearsal.py [--n 2000 --points 60000
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 import time

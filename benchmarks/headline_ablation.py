@@ -17,6 +17,11 @@ fractions. Feeds RESULTS.md "Headline roofline".
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -19,6 +19,11 @@ measurement (honest fori_loop timing).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import os

@@ -20,6 +20,11 @@ One JSON line per measurement. Accept/reject recorded in RESULTS.md.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import os

@@ -12,6 +12,11 @@ Usage: python benchmarks/kitti_eval.py [--scenes 40 --points 120000
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 import time

@@ -18,6 +18,11 @@ Timing is tunnel-honest (dependency-chained steps + final scalar
 fetch — see scenenet_tpu/train/tune.py:measure_train_step_ms).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -9,6 +9,11 @@ Reports point-level confusion vs the ground-truth classes as well.
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 import time
 
 import numpy as np

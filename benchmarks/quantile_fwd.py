@@ -9,6 +9,11 @@ the same vmap. Honest fori_loop timing (see bench.py).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import sys

@@ -11,6 +11,11 @@ Usage: python benchmarks/spatial_128.py [--data N --space M --batch B]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -17,6 +17,11 @@ Run on the TPU host:  python -m benchmarks.train_256
 Timing is tunnel-honest (dependency-chained TrainStates + loss fetch).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import time

@@ -11,6 +11,11 @@ Reference baseline: ≈1.60 s/it at batch 4 incl. CPU voxelization
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -531,6 +531,19 @@ def run(cfg: ExperimentConfig) -> Dict[str, float]:
         export_forward(model, final_params,
                        (1, 1, *cfg.grid_zxy()), path)
         print(f"exported StableHLO to {path}")
+    if getattr(cfg, "export_onnx", False):
+        # ONNX-format export (reference main.py:259-264) — SceneNet only
+        # (the baked combined-kernel Conv graph); see docs/ONNX.md
+        from scenenet_tpu.utils.onnx_export import export_scenenet_onnx
+
+        if hasattr(model, "synthesize_kernels") and hasattr(
+                model, "effective_lambdas"):
+            path = os.path.join(ckpt_dir, f"{cfg.project}.onnx")
+            export_scenenet_onnx(model, final_params, cfg.grid_zxy(), path)
+            print(f"exported ONNX to {path}")
+        else:
+            print(f"[export] ONNX export supports SceneNet-family models "
+                  f"only; skipping for {type(model).__name__}")
     return {**best, **test_scores}
 
 

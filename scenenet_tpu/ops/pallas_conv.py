@@ -290,13 +290,40 @@ def banded_y_weights(kernel: jnp.ndarray, yy: int, kp: int,
     return jnp.stack([hi, lo])
 
 
-def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, *, kernel_size,
-                        activation: bool, split: bool):
+def banded_y_weights_packed(kernel: jnp.ndarray, yy: int,
+                            kp: int) -> jnp.ndarray:
+    """Split banded matrices PACKED along the output-lane dim:
+    (k_z, k_x, kp, 2·yy) with columns [:yy] = bf16(B) and [yy:] = the
+    ×2⁹-scaled bf16 residual (see :func:`banded_y_weights`).
+
+    Round-5 measured fact (`benchmarks/conv_dot_shapes.py`): an
+    (m, 128) @ (128, 128) bf16 dot costs the same wall time as the
+    (m, 128) @ (128, 64) one — N=64 wastes half the MXU's output lanes.
+    Packing hi|lo side by side turns the split path's two dots per
+    (dx, dz) tap into ONE (m, kp) @ (kp, 2·yy) dot: identical staging,
+    identical f32 column sums (each output column accumulates
+    independently on the MXU), half the dot issues. The kernels
+    accumulate the packed (…, 2·yy) partials and recombine once per
+    block: out = acc[…, :yy] + 2⁻⁹·acc[…, yy:]."""
+    by = banded_y_weights(kernel, yy, kp, split=True)
+    return jnp.concatenate([by[0], by[1]], axis=-1)
+
+
+def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, acc_ref, *,
+                        kernel_size, activation: bool, split: bool):
     """MXU stencil forward: per dx, one sublane-shifted staging; per
-    (dx, dz), a (bz, xx, kp) @ (kp, yy) bf16 dot against the banded B_y —
-    the k_y lane-rotates fold into the contraction and the z-chain rides
-    the systolic array. 1.8× the VPU stencil (single bf16) / 1.27×
-    (split) at batch-128 64³ (benchmarks/conv_mxu.py).
+    (dx, dz), a (bz, xx, kp) @ (kp, yy|2·yy) bf16 dot against the banded
+    B_y — the k_y lane-rotates fold into the contraction and the z-chain
+    rides the systolic array.
+
+    ``split=True`` (round-5 packed form): by_ref is the hi|lo-packed
+    (k_z, k_x, kp, 2·yy) matrix of :func:`banded_y_weights_packed` — one
+    N=2·yy dot per tap replaces the former hi+lo dot pair at the SAME
+    wall time per dot (measured: N=64 wastes half the MXU output lanes,
+    `benchmarks/conv_dot_shapes.py`), the packed partials accumulate in
+    the ``acc_ref`` VMEM scratch, and the hi/lo halves recombine once
+    per block. f32 column sums are identical to the two-dot form (each
+    MXU output column accumulates independently).
 
     The contraction MUST be 128-lane-aligned: this Mosaic toolchain
     MISCOMPILES bf16 dot_general with unaligned K (K=68: max|Δ|=2.48 vs
@@ -308,26 +335,32 @@ def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, *, kernel_size,
     base = pl.program_id(1) * z
     zp = shift_ref.shape[0]
     dims = (((2,), (0,)), ((), ()))
+    out_ref = acc_ref if split else o_ref
     for dx in range(k_x):
         shift_ref[...] = x_ref[0, pl.ds(base, zp), dx:dx + xx, :].astype(
             shift_ref.dtype)
         acc = None
         for dz in range(k_z):
             s = shift_ref[pl.ds(dz, z)]  # (z, xx, kp) bf16
-            d = lax.dot_general(s, by_ref[0, dz, dx], dims,
+            b = by_ref[dz, dx] if split else by_ref[0, dz, dx]
+            d = lax.dot_general(s, b, dims,
                                 preferred_element_type=jnp.float32)
-            if split:
-                # residual ships ×2^9; the scale-back keeps the two dots
-                # unmergeable (see banded_y_weights)
-                d += _INV_LO_SCALE * lax.dot_general(
-                    s, by_ref[1, dz, dx], dims,
-                    preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
         if dx == 0:
-            o_ref[0] = acc
+            if split:
+                out_ref[...] = acc
+            else:
+                out_ref[0] = acc
         else:
-            o_ref[0] += acc
-    if activation:
+            if split:
+                out_ref[...] += acc
+            else:
+                out_ref[0] += acc
+    if split:
+        # recombine hi + 2⁻⁹·lo once per output block
+        res = acc_ref[:, :, :yy] + _INV_LO_SCALE * acc_ref[:, :, yy:]
+        o_ref[0] = jax.nn.relu(jnp.tanh(res)) if activation else res
+    elif activation:
         o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
 
 
@@ -336,40 +369,43 @@ def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
                             xp_shape):
     """HBM-streamed banded-y MXU forward (128³+): DMA one overlapping
     z-slab window per grid step (as :func:`_stencil_kernel_hbm`), but per
-    (dx, dz) run a (bz, ox, kp) @ (kp, oy) bf16 dot against the banded
-    B_y instead of the k_y-deep VPU shift/FMA chains. The banded matrices
-    span the 128-aligned padded output columns; the extra columns read
-    only input zero padding and are sliced away by the caller."""
+    (dx, dz) run a (bz, ox, kp) @ (kp, oy|2·oy) bf16 dot against the
+    banded B_y instead of the k_y-deep VPU shift/FMA chains. With
+    ``split=True`` the hi|lo-packed matrices (see
+    :func:`banded_y_weights_packed`) make it one N=2·oy dot per tap,
+    recombined once per slab. The banded matrices span the 128-aligned
+    padded output columns; the extra columns read only input zero
+    padding and are sliced away by the caller."""
     k_z, k_x, k_y = kernel_size
     _, _, ox, oy = o_hbm.shape
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    def body(scratch, shift, out_vmem, sem_in, sem_out):
+    def body(scratch, shift, acc_vmem, out_vmem, sem_in, sem_out):
         dma = pltpu.make_async_copy(
             x_hbm.at[i, pl.ds(j * bz, bz + k_z - 1)], scratch, sem_in
         )
         dma.start()
         dma.wait()
         dims = (((2,), (0,)), ((), ()))
+        target = acc_vmem if split else out_vmem
         for dx in range(k_x):
             shift[...] = scratch[:, dx:dx + ox, :].astype(shift.dtype)
             acc = None
             for dz in range(k_z):
                 s = shift[pl.ds(dz, bz)]  # (bz, ox, kp) bf16
-                d = lax.dot_general(s, by_ref[0, dz, dx], dims,
+                b = by_ref[dz, dx] if split else by_ref[0, dz, dx]
+                d = lax.dot_general(s, b, dims,
                                     preferred_element_type=jnp.float32)
-                if split:
-                    # residual ships ×2^9 (see banded_y_weights)
-                    d += _INV_LO_SCALE * lax.dot_general(
-                        s, by_ref[1, dz, dx], dims,
-                        preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
             if dx == 0:
-                out_vmem[...] = acc
+                target[...] = acc
             else:
-                out_vmem[...] += acc
-        if activation:
+                target[...] += acc
+        if split:
+            res = acc_vmem[:, :, :oy] + _INV_LO_SCALE * acc_vmem[:, :, oy:]
+            out_vmem[...] = jax.nn.relu(jnp.tanh(res)) if activation else res
+        elif activation:
             out_vmem[...] = jax.nn.relu(jnp.tanh(out_vmem[...]))
         dma_out = pltpu.make_async_copy(
             out_vmem, o_hbm.at[i, pl.ds(j * bz, bz)], sem_out
@@ -381,6 +417,7 @@ def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
         body,
         scratch=pltpu.VMEM((bz + k_z - 1, *xp_shape), jnp.float32),
         shift=pltpu.VMEM((bz + k_z - 1, ox, xp_shape[1]), jnp.bfloat16),
+        acc_vmem=pltpu.VMEM((bz, ox, 2 * oy if split else 1), jnp.float32),
         out_vmem=pltpu.VMEM((bz, ox, oy), jnp.float32),
         sem_in=pltpu.SemaphoreType.DMA(()),
         sem_out=pltpu.SemaphoreType.DMA(()),
@@ -426,7 +463,8 @@ def geneo_stencil_conv_mxu(
     if zpad:
         xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
     zz = z + zpad
-    by = banded_y_weights(kernel, yy, kp, split)
+    by = banded_y_weights_packed(kernel, yy, kp) if split else \
+        banded_y_weights(kernel, yy, kp, False)
     out = pl.pallas_call(
         functools.partial(_stencil_mxu_kernel, kernel_size=(k_z, k_x, k_y),
                           activation=activation, split=split),
@@ -440,7 +478,10 @@ def geneo_stencil_conv_mxu(
         ],
         out_specs=pl.BlockSpec((1, bz, xx, yy), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bz + k_z - 1, xx, kp), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((bz + k_z - 1, xx, kp), jnp.bfloat16),
+            pltpu.VMEM((bz, xx, 2 * yy if split else 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -484,7 +525,8 @@ def _geneo_stencil_conv_mxu_hbm(
     if zpad:
         xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
     zz = z + zpad
-    by = banded_y_weights(kernel, oy, kp, split)
+    by = banded_y_weights_packed(kernel, oy, kp) if split else \
+        banded_y_weights(kernel, oy, kp, False)
     out = pl.pallas_call(
         functools.partial(_stencil_kernel_hbm_mxu,
                           kernel_size=(k_z, k_x, k_y),
