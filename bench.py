@@ -98,7 +98,7 @@ def _tpu_throughput(clouds) -> float:
     import jax.numpy as jnp
 
     from scenenet_tpu.models import SceneNet
-    from scenenet_tpu.ops.voxelize import prob_to_label, voxelize_batch_occupancy
+    from scenenet_tpu.ops.voxelize import voxelize_batch_occupancy
 
     net, params = SceneNet.create({"cy": 1, "cone": 1, "neg": 1},
                                   kernel_size=(9, 5, 5), seed=0,
@@ -118,13 +118,13 @@ def _tpu_throughput(clouds) -> float:
         # fused Pallas points→occupancy kernel (bounds + binning + int8
         # MXU histogram in VMEM; exactly (voxelize_batch_hist > 0))
         grids = voxelize_batch_occupancy(pts, mask, GRID)[:, None]
-        # inference="mxu": banded-y MXU stencil, split-bf16 — 1.27× the
-        # bf16-tap VPU stencil at this shape; conv max|Δ| 2.6e-5 vs f32
-        # (verified on-chip AFTER the residual-zeroing fix — see
-        # banded_y_weights; "mxu_fast" drops the residual dot for the
-        # mask-only contract: 0.0028% τ-flips — headline_mxu_ab.py)
-        pred = net.apply(params, grids, inference="mxu")
-        return prob_to_label(pred, 0.65)
+        # inference="mxu": banded-y MXU stencil with the round-5 hi|lo
+        # lane-packed split (one N=128 dot per tap; 0 τ-mask flips vs
+        # the f32 stencil over 134M voxels — headline_mxu_ab.py).
+        # tau=0.65 fuses prob_to_label into the kernel epilogue (the
+        # mask IS the headline contract), saving a full-volume HBM pass;
+        # exactness re-checked in tests/test_pallas_conv.py.
+        return net.apply(params, grids, inference="mxu", tau=0.65)
 
     # Honest timing through the remote-execution tunnel (where
     # block_until_ready can return before execution): run ITERS pipeline

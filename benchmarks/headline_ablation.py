@@ -124,7 +124,10 @@ def main():
     live_chunks = sum(int(np.ceil(mask[b].sum() / chunk)) for b in range(BATCH))
     size = GRID[0] * GRID[1] * GRID[2]
     macs = live_chunks * chunk * size  # one channel (occupancy)
-    vox_floor = macs / S8_TOPS
+    # TOPS counts mul+add as 2 ops → nominal MAC rate is S8_TOPS/2
+    # (the r3 write-up's corrected unit; dividing MACs by the TOPS figure
+    # halves the floor)
+    vox_floor = macs / (S8_TOPS / 2)
     vol_bytes = BATCH * size * 4
     conv_floor = (1.5 * vol_bytes + vol_bytes) / HBM_BPS
     # banded-y MXU conv ISSUED MACs (kp=128-padded K, N=yy): per sample,

@@ -57,7 +57,7 @@ class _Pipeline:
                  inference: "bool | str" = True, model: str = "scenenet",
                  quantiles=(0.1, 0.5, 0.9), mesh_ensemble: int = 1,
                  max_batch: int = 1, batch_window_ms: float = 2.0,
-                 warm_buckets: bool = True):
+                 warm_buckets: bool = True, adaptive: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -169,7 +169,8 @@ class _Pipeline:
         # power-of-two bucket is its own one-time compile
         self.predict(np.zeros((16, 3), np.float32))
         if max_batch > 1:
-            self._batcher = _MicroBatcher(self, max_batch, batch_window_ms)
+            self._batcher = _MicroBatcher(self, max_batch, batch_window_ms,
+                                          adaptive=adaptive)
             if warm_buckets:
                 b = 1
                 while b <= self._batcher.max_batch:
@@ -203,11 +204,25 @@ class _MicroBatcher:
     """Dynamic micro-batching: coalesce concurrent requests into one
     batched dispatch, pipelined so the wire overlaps the chip.
 
-    The first queued request opens a window of ``window_ms``; whatever
-    arrives before it closes (up to ``max_batch``) rides the same
+    Static mode: the first queued request opens a window of ``window_ms``;
+    whatever arrives before it closes (up to ``max_batch``) rides the same
     executable. Single requests on an idle server pay at most the window
     (2 ms default) on top of batch-1 latency; under concurrency the
     server moves to the throughput regime of the batched kernels.
+
+    Adaptive mode (``adaptive=True``, the ``--max-batch auto`` CLI knob —
+    VERDICT r3 #7/r4 #5): the coalescing decision is made from measured
+    load instead of a fixed wait. Every dispatch first drains whatever is
+    ALREADY queued (free coalescing — zero added latency), and the window
+    only opens when the EWMA request arrival rate predicts at least
+    ``_GAIN_MIN`` more arrivals within it — i.e. when waiting would move
+    the batch toward the measured b≥16 break-even of the batched kernels
+    (RESULTS.md "Serving latency") rather than just delaying a lone
+    request. Low load therefore behaves like static batch-1 (no window,
+    batch-1 bucket = the same executable), and sustained load behaves
+    like the static batched configuration (queueing + the opened window
+    form large buckets): adaptive ≈ max(static-1, static-batched) in
+    both regimes, which the serve_latency.py A/B verifies.
 
     Pipelining: handler threads transfer their request H2D *before*
     queueing (overlapped uploads), the dispatch thread only stacks
@@ -220,8 +235,12 @@ class _MicroBatcher:
     (measured: 8.0 vs 12.6 req/s through the dev tunnel).
     """
 
+    _GAIN_MIN = 8          # open the window only if ≥ this many arrivals
+    # are predicted within it (moves the bucket toward the b≥16 break-even)
+    _EWMA_ALPHA = 0.2      # arrival-interval smoothing
+
     def __init__(self, pipeline: _Pipeline, max_batch: int,
-                 window_ms: float):
+                 window_ms: float, adaptive: bool = False):
         # round DOWN to a power of two (bucket set == warmed set): the
         # operator's --max-batch is a memory/latency CAP — dispatching
         # bigger batches than asked for is never acceptable
@@ -230,9 +249,14 @@ class _MicroBatcher:
             b *= 2
         self.max_batch = b
         self.window = max(window_ms, 0.0) / 1e3
+        self.adaptive = adaptive
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "dispatches": 0,
-                      "max_batch_seen": 0, "failed_dispatches": 0}
+                      "max_batch_seen": 0, "failed_dispatches": 0,
+                      "windows_opened": 0}
+        # EWMA of request inter-arrival time (seconds); inf = idle
+        self._ewma_interval = float("inf")
+        self._last_arrival = None
         self._pipeline = pipeline
         self._q: "queue.Queue" = queue.Queue()
         self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
@@ -242,9 +266,36 @@ class _MicroBatcher:
         self._dispatch.start()
         self._fetch.start()
 
+    def _note_arrival(self):
+        now = time.monotonic()
+        with self._stats_lock:
+            if self._last_arrival is not None:
+                dt = now - self._last_arrival
+                prev = self._ewma_interval
+                self._ewma_interval = dt if prev == float("inf") else \
+                    (1 - self._EWMA_ALPHA) * prev + self._EWMA_ALPHA * dt
+            self._last_arrival = now
+
+    def _should_wait(self) -> bool:
+        """Adaptive coalescing decision (adaptive mode only): wait the
+        window only when the measured arrival rate predicts ≥ _GAIN_MIN
+        more requests within it. A stale rate estimate expires (no
+        arrival for 10×EWMA — a burst that ended must not keep opening
+        windows for lone stragglers)."""
+        with self._stats_lock:
+            ew = self._ewma_interval
+            last = self._last_arrival
+        if self.window <= 0 or ew == float("inf") or ew <= 0:
+            return False
+        if last is not None and time.monotonic() - last > 10 * ew:
+            return False
+        return self.window / ew >= self._GAIN_MIN
+
     def submit(self, pts, mask):
         """pts/mask are DEVICE arrays (the caller pays the H2D transfer in
         its own thread); returns per-request numpy (pred, probs)."""
+        if self.adaptive:
+            self._note_arrival()
         done = threading.Event()
         slot = {"done": done}
         self._q.put((pts, mask, slot))
@@ -279,7 +330,14 @@ class _MicroBatcher:
             # batch's slots (handlers return 500) instead of killing the
             # daemon thread and wedging every future request
             try:
-                deadline = time.monotonic() + self.window
+                if self.adaptive:
+                    wait = self._should_wait()
+                    if wait:
+                        with self._stats_lock:
+                            self.stats["windows_opened"] += 1
+                else:
+                    wait = True
+                deadline = time.monotonic() + (self.window if wait else 0.0)
                 while len(batch) < self.max_batch:
                     left = deadline - time.monotonic()
                     if left <= 0 and self._q.empty():
@@ -362,8 +420,11 @@ def make_handler(pipeline: _Pipeline):
                 info["quantiles"] = list(pipeline.quantiles)
                 info["mesh_ensemble"] = pipeline.mesh_ensemble
             if pipeline._batcher is not None:
-                info["batching"] = dict(pipeline._batcher.stats_snapshot(),
-                                        max_batch=pipeline._batcher.max_batch)
+                info["batching"] = dict(
+                    pipeline._batcher.stats_snapshot(),
+                    max_batch=pipeline._batcher.max_batch,
+                    mode=("adaptive" if pipeline._batcher.adaptive
+                          else "static"))
             body = json.dumps(info).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -449,12 +510,16 @@ def main(argv=None):
                              "stencil (bit-exact on occupancy), banded-y "
                              "MXU split (near-f32), or single-bf16 MXU "
                              "(fastest; for mask-only consumers)")
-    parser.add_argument("--max-batch", type=int, default=1,
+    parser.add_argument("--max-batch", type=str, default="1",
                         help=">1 enables dynamic micro-batching: concurrent "
                              "requests coalesce into one batched dispatch "
                              "(power-of-two buckets, warmed at startup; "
                              "non-powers round DOWN — this is a cap, the "
-                             "server never dispatches a bigger batch)")
+                             "server never dispatches a bigger batch). "
+                             "'auto' = adaptive mode (cap 32): drain-only "
+                             "coalescing at low load, window opens only "
+                             "when the measured arrival rate crosses the "
+                             "batched-kernel break-even")
     parser.add_argument("--batch-window-ms", type=float, default=2.0,
                         help="how long the first queued request waits for "
                              "company before dispatching")
@@ -462,15 +527,19 @@ def main(argv=None):
 
     inference = True if args.inference == "bf16" else args.inference
     quantiles = tuple(float(q) for q in args.quantiles.split(","))
+    adaptive = args.max_batch.strip().lower() == "auto"
+    max_batch = 32 if adaptive else int(args.max_batch)
     pipeline = _Pipeline(args.checkpoint, (args.grid,) * 3, args.max_points,
                          inference=inference, model=args.model,
                          quantiles=quantiles,
                          mesh_ensemble=args.mesh_ensemble,
-                         max_batch=args.max_batch,
-                         batch_window_ms=args.batch_window_ms)
+                         max_batch=max_batch,
+                         batch_window_ms=args.batch_window_ms,
+                         adaptive=adaptive)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), make_handler(pipeline))
     batching = (f", micro-batching ≤{pipeline._batcher.max_batch} "
                 f"@ {args.batch_window_ms} ms"
+                f"{' (adaptive)' if adaptive else ''}"
                 if pipeline._batcher is not None else "")
     print(f"serving SCENE-Net ({args.model}) on http://127.0.0.1:{args.port} "
           f"(grid {args.grid}³, ≤{args.max_points} pts{batching})")

@@ -141,6 +141,7 @@ class SceneNet:
         x: jnp.ndarray,
         fuse_observers: bool = True,
         inference: "bool | str" = False,
+        tau: "float | None" = None,
     ) -> jnp.ndarray:
         """Forward pass: x (B, 1, Z, X, Y) → tower-probability grid, same shape.
 
@@ -171,6 +172,13 @@ class SceneNet:
         the right choice when the output is the thresholded mask.
         Non-VMEM-resident volumes fall back to the streamed MXU variant
         automatically.
+
+        ``tau`` (static float) returns the τ-thresholded {0,1} mask
+        instead of probabilities — ``(relu(tanh(c)) >= τ).astype(f32)``,
+        exactly ``prob_to_label(apply(...), τ)``. On the MXU inference
+        paths the threshold fuses into the kernel epilogue, saving the
+        separate full-volume HBM pass over the probabilities (the
+        headline mask contract).
         """
         kernels = self.synthesize_kernels(params).astype(x.dtype)
         lams = self.effective_lambdas(params).astype(x.dtype)
@@ -189,26 +197,41 @@ class SceneNet:
 
                 if inference in ("mxu", "mxu_fast") or (
                         inference and self.backend == "pallas_mxu"):
+                    # ``tau`` fuses the prob_to_label threshold into the
+                    # kernel epilogue (mask out, one HBM pass saved) —
+                    # exact: (relu(tanh(c)) >= τ).astype(f32)
+                    # max_bz=64: the r5 slab sweep (benchmarks/r5_probes.py
+                    # + r5_probe3) measured taller slabs 1-2% faster for
+                    # the MXU formulation, in isolation AND in-pipeline,
+                    # with bit-identical outputs — the old bz=16 lesson
+                    # was specific to the VPU stencil's prefetch overlap
                     return geneo_stencil_conv_mxu(
                         x.astype(jnp.float32),
                         combined.astype(jnp.float32),
-                        activation=True, split=inference != "mxu_fast")
+                        activation=True, split=inference != "mxu_fast",
+                        tau=tau, max_bz=64)
                 if inference:
-                    return geneo_stencil_conv(x.astype(jnp.float32),
-                                              combined.astype(jnp.float32),
-                                              activation=True,
-                                              scratch_dtype="bf16")
+                    out = geneo_stencil_conv(x.astype(jnp.float32),
+                                             combined.astype(jnp.float32),
+                                             activation=True,
+                                             scratch_dtype="bf16")
+                    return (out >= tau).astype(out.dtype) \
+                        if tau is not None else out
                 if self.backend == "pallas_mxu":
-                    return fused_geneo_conv_mxu(x.astype(jnp.float32),
-                                                combined.astype(jnp.float32))
-                return fused_geneo_conv(x.astype(jnp.float32),
-                                        combined.astype(jnp.float32))
+                    out = fused_geneo_conv_mxu(x.astype(jnp.float32),
+                                               combined.astype(jnp.float32))
+                else:
+                    out = fused_geneo_conv(x.astype(jnp.float32),
+                                           combined.astype(jnp.float32))
+                return (out >= tau).astype(out.dtype) \
+                    if tau is not None else out
             conv = conv3d_same(x, combined[None, None])
         else:
             conv = conv3d_same(x, kernels[:, None])
             conv = jnp.sum(lams[None, :, None, None, None] * conv,
                            axis=1)[:, None]
-        return jax.nn.relu(jnp.tanh(conv))
+        out = jax.nn.relu(jnp.tanh(conv))
+        return (out >= tau).astype(out.dtype) if tau is not None else out
 
     def observer_responses(self, params: Mapping, x: jnp.ndarray) -> jnp.ndarray:
         """Per-observer convolution responses (B, G, Z, X, Y) — the white-box

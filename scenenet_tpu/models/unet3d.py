@@ -66,37 +66,50 @@ def _pad_to(x, target):
 
 
 class _UNetModule(nn.Module):
+    """``stage`` selects a sub-graph for pipeline parallelism
+    (``parallel/pp.py:make_unet_pipeline_inference_fn``): "encode" runs
+    the down path and returns the skip tuple (x1..x5); "decode" takes
+    that tuple and runs the up path + head; "all" is the plain forward.
+    Blocks carry EXPLICIT names so the param tree is identical whichever
+    sub-graph instantiates them (flax auto-numbering would collide)."""
+
     n_classes: int = 1
     dtype: jnp.dtype = jnp.float32
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = jnp.moveaxis(x, 1, -1).astype(self.dtype)  # NCDHW → NDHWC
+    def __call__(self, x, train: bool = False, stage: str = "all"):
         dt = self.dtype
         ax = self.bn_axis_name
 
-        def block(feats, mid=None):
+        def block(feats, name, mid=None):
             return _ConvBlock(feats, mid_features=mid, dtype=dt,
-                              bn_axis_name=ax)
+                              bn_axis_name=ax, name=name)
 
-        x1 = block(32)(h, train)
-        x2 = block(64)(_maxpool3d(x1), train)
-        x3 = block(128)(_maxpool3d(x2), train)
-        x4 = block(256)(_maxpool3d(x3), train)
-        x5 = block(256)(_maxpool3d(x4), train)  # 512/2 bottleneck
+        if stage in ("all", "encode"):
+            h = jnp.moveaxis(x, 1, -1).astype(dt)  # NCDHW → NDHWC
+            x1 = block(32, "down0")(h, train)
+            x2 = block(64, "down1")(_maxpool3d(x1), train)
+            x3 = block(128, "down2")(_maxpool3d(x2), train)
+            x4 = block(256, "down3")(_maxpool3d(x3), train)
+            x5 = block(256, "down4")(_maxpool3d(x4), train)  # 512/2 bottleneck
+            if stage == "encode":
+                return (x1, x2, x3, x4, x5)
+        else:
+            assert stage == "decode", stage
+            x1, x2, x3, x4, x5 = x
 
-        def up(a, skip, feats):
+        def up(a, skip, feats, name):
             a = _upsample_nearest(a)
             a = _pad_to(a, skip)
             a = jnp.concatenate([skip, a], axis=-1)
-            return block(feats, mid=a.shape[-1] // 2)(a, train)
+            return block(feats, name, mid=a.shape[-1] // 2)(a, train)
 
-        u = up(x5, x4, 128)
-        u = up(u, x3, 64)
-        u = up(u, x2, 32)
-        u = up(u, x1, 32)
-        out = nn.Conv(self.n_classes, (1, 1, 1), dtype=dt)(u)
+        u = up(x5, x4, 128, "up0")
+        u = up(u, x3, 64, "up1")
+        u = up(u, x2, 32, "up2")
+        u = up(u, x1, 32, "up3")
+        out = nn.Conv(self.n_classes, (1, 1, 1), dtype=dt, name="out")(u)
         # sigmoid head + output in f32 for loss/metric accumulation
         return jnp.moveaxis(nn.sigmoid(out.astype(jnp.float32)), -1, 1)
 

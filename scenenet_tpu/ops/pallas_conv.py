@@ -310,7 +310,8 @@ def banded_y_weights_packed(kernel: jnp.ndarray, yy: int,
 
 
 def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, acc_ref, *,
-                        kernel_size, activation: bool, split: bool):
+                        kernel_size, activation: bool, split: bool,
+                        tau=None):
     """MXU stencil forward: per dx, one sublane-shifted staging; per
     (dx, dz), a (bz, xx, kp) @ (kp, yy|2·yy) bf16 dot against the banded
     B_y — the k_y lane-rotates fold into the contraction and the z-chain
@@ -359,14 +360,27 @@ def _stencil_mxu_kernel(x_ref, by_ref, o_ref, shift_ref, acc_ref, *,
     if split:
         # recombine hi + 2⁻⁹·lo once per output block
         res = acc_ref[:, :, :yy] + _INV_LO_SCALE * acc_ref[:, :, yy:]
-        o_ref[0] = jax.nn.relu(jnp.tanh(res)) if activation else res
-    elif activation:
-        o_ref[0] = jax.nn.relu(jnp.tanh(o_ref[0]))
+        if activation:
+            res = jax.nn.relu(jnp.tanh(res))
+        if tau is not None:
+            # fused τ-threshold (prob_to_label semantics): saves the
+            # separate 512 MB-read HBM pass over the probabilities when
+            # the consumer only wants the mask (the headline contract)
+            res = (res >= tau).astype(jnp.float32)
+        o_ref[0] = res
+    else:
+        res = o_ref[0]
+        if activation:
+            res = jax.nn.relu(jnp.tanh(res))
+        if tau is not None:
+            res = (res >= tau).astype(jnp.float32)
+        if activation or tau is not None:
+            o_ref[0] = res
 
 
 def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
                             activation: bool, split: bool, bz: int,
-                            xp_shape):
+                            xp_shape, tau=None):
     """HBM-streamed banded-y MXU forward (128³+): DMA one overlapping
     z-slab window per grid step (as :func:`_stencil_kernel_hbm`), but per
     (dx, dz) run a (bz, ox, kp) @ (kp, oy|2·oy) bf16 dot against the
@@ -404,9 +418,14 @@ def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
                 target[...] += acc
         if split:
             res = acc_vmem[:, :, :oy] + _INV_LO_SCALE * acc_vmem[:, :, oy:]
-            out_vmem[...] = jax.nn.relu(jnp.tanh(res)) if activation else res
-        elif activation:
-            out_vmem[...] = jax.nn.relu(jnp.tanh(out_vmem[...]))
+        else:
+            res = out_vmem[...]
+        if activation:
+            res = jax.nn.relu(jnp.tanh(res))
+        if tau is not None:
+            res = (res >= tau).astype(jnp.float32)
+        if split or activation or tau is not None:
+            out_vmem[...] = res
         dma_out = pltpu.make_async_copy(
             out_vmem, o_hbm.at[i, pl.ds(j * bz, bz)], sem_out
         )
@@ -425,13 +444,15 @@ def _stencil_kernel_hbm_mxu(x_hbm, by_ref, o_hbm, *, kernel_size,
 
 
 @functools.partial(jax.jit, static_argnames=("activation", "split",
-                                             "interpret"))
+                                             "interpret", "max_bz", "tau"))
 def geneo_stencil_conv_mxu(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     activation: bool = True,
     split: bool = True,
     interpret: bool = False,
+    max_bz: int = 16,
+    tau: "float | None" = None,
 ) -> jnp.ndarray:
     """Banded-y MXU formulation of :func:`geneo_stencil_conv`
     (SAME conv + optional relu∘tanh; torch's asymmetric SAME rule).
@@ -452,14 +473,15 @@ def geneo_stencil_conv_mxu(
         <= 4 * 1024 * 1024
     if not resident:
         return _geneo_stencil_conv_mxu_hbm(x, kernel, activation=activation,
-                                           split=split, interpret=interpret)
+                                           split=split, interpret=interpret,
+                                           tau=tau)
     yp = yy + k_y - 1
     kp = -(-yp // 128) * 128
     pads = [(0, 0), (0, 0), ((k_z - 1) // 2, k_z // 2),
             ((k_x - 1) // 2, k_x // 2),
             ((k_y - 1) // 2, kp - yy - (k_y - 1) // 2)]
     xp = jnp.pad(x, pads)[:, 0]
-    bz, zpad = _pick_slab(z)
+    bz, zpad = _pick_slab(z, max_bz)
     if zpad:
         xp = jnp.pad(xp, ((0, 0), (0, zpad), (0, 0), (0, 0)))
     zz = z + zpad
@@ -467,7 +489,7 @@ def geneo_stencil_conv_mxu(
         banded_y_weights(kernel, yy, kp, False)
     out = pl.pallas_call(
         functools.partial(_stencil_mxu_kernel, kernel_size=(k_z, k_x, k_y),
-                          activation=activation, split=split),
+                          activation=activation, split=split, tau=tau),
         out_shape=jax.ShapeDtypeStruct((b, zz, xx, yy), jnp.float32),
         grid=(b, zz // bz),
         in_specs=[
@@ -491,13 +513,14 @@ def geneo_stencil_conv_mxu(
 
 
 @functools.partial(jax.jit, static_argnames=("activation", "split",
-                                             "interpret"))
+                                             "interpret", "tau"))
 def _geneo_stencil_conv_mxu_hbm(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
     activation: bool = True,
     split: bool = True,
     interpret: bool = False,
+    tau: "float | None" = None,
 ) -> jnp.ndarray:
     """Streamed variant of :func:`geneo_stencil_conv_mxu` for volumes past
     the VMEM-resident cap (128³+): per grid step one overlapping z-slab
@@ -531,7 +554,7 @@ def _geneo_stencil_conv_mxu_hbm(
         functools.partial(_stencil_kernel_hbm_mxu,
                           kernel_size=(k_z, k_x, k_y),
                           activation=activation, split=split, bz=bz,
-                          xp_shape=(xp_x, kp)),
+                          xp_shape=(xp_x, kp), tau=tau),
         out_shape=jax.ShapeDtypeStruct((b, zz, ox, oy), jnp.float32),
         grid=(b, zz // bz),
         in_specs=[

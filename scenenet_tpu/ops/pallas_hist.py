@@ -130,9 +130,10 @@ def _bin_flat_ids_in_kernel(pts_ref, m, grid_shape, invalid: int):
     return jnp.where(m, (iz * n_x + ix) * n_y + iy, invalid)
 
 
-def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
+def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref,
+                        acc32_ref=None, *, grid_shape,
                         n_hi: int, channels: int, n_chunks: int, chunk: int,
-                        dtype):
+                        dtype, binarize: bool = False):
     """Fused raw-points → two-channel histogram.
 
     Phase 1 reduces masked per-axis bounds (regular-bounding-box expanded,
@@ -141,7 +142,16 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
     :func:`_hist_kernel`. Raw points are read from HBM exactly once and no
     intermediate id tensor ever exists in HBM (the XLA formulation spends
     ~1.4 ms/batch on the index computation alone, plus its HBM round-trip).
-    """
+
+    ``binarize=True`` (channels=1 only; o_ref is f32, requires
+    ``LO % n_y == 0``): fold the occupancy binarization —
+    ``counts > per-y-column min``, the minmax-normalization parity rule
+    of ``voxelize_batch_occupancy`` — into the kernel epilogue and emit
+    f32 {0,1} directly, skipping the separate XLA convert/reduce/compare
+    HBM passes over the counts. The y-column id is ``lo % n_y``
+    (flat = (iz·n_x+ix)·n_y+iy), so the min reduces over all hi rows ×
+    the LO/n_y lo-groups. Counts accumulate exactly in f32 (≤ 2²⁴
+    points per grid — integer-exact in a float32)."""
     acc_dtype = o_ref.dtype
     o_ref[0] = jnp.zeros_like(o_ref[0])
     lo_shift = LO.bit_length() - 1
@@ -151,8 +161,12 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
     # staged through a VMEM scratch: Mosaic has no dynamic_slice on values
     flat_ref[...] = _bin_flat_ids_in_kernel(pts_ref, m, grid_shape,
                                             invalid=n_hi * LO)
+    if binarize:
+        assert channels == 1, "binarize is a single-channel contract"
+        acc_dtype = jnp.int32
+        acc32_ref[...] = jnp.zeros_like(acc32_ref[...])
 
-    def body(c, _):
+    def body(c, acc):
         ids = flat_ref[pl.ds(c, 1)]  # (1, chunk)
         hi_c = ids >> lo_shift
         lo_c = ids & (LO - 1)
@@ -171,12 +185,32 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref, *, grid_shape,
                 at, b, dims, preferred_element_type=acc_dtype)
             o_ref[0, n_hi:] += lax.dot_general(
                 awt, b, dims, preferred_element_type=acc_dtype)
+            return acc
+        d = lax.dot_general(at, b, dims, preferred_element_type=acc_dtype)
+        if binarize:
+            acc32_ref[...] += d  # int32 counts in a VMEM scratch
         else:
-            o_ref[0] += lax.dot_general(at, b, dims,
-                                        preferred_element_type=acc_dtype)
-        return 0
+            o_ref[0] += d
+        return acc
 
     lax.fori_loop(0, n_live, body, 0)
+    if binarize:
+        n_y = grid_shape[1]
+        groups = LO // n_y
+        assert groups & (groups - 1) == 0, "binarize needs 2^k lo-groups"
+        counts = acc32_ref[...]
+        # per-y-column min: rows first (lanewise), then fold the LO/n_y
+        # lo-groups with log₂(groups) cyclic lane-rotates — {l + k·n_y
+        # mod LO} is exactly the congruence class of l mod n_y, so after
+        # the fold every lane holds its column's min (Mosaic supports
+        # tpu.rotate; the lane-shrinking reshape it would take to do
+        # this as a 2D reduction is an unsupported shape cast)
+        m0 = jnp.min(counts, axis=0, keepdims=True)  # (1, LO)
+        shift = n_y
+        while shift < LO:
+            m0 = jnp.minimum(m0, jnp.roll(m0, -shift, axis=1))
+            shift *= 2
+        o_ref[0] = (counts > m0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
@@ -246,6 +280,65 @@ def pallas_points_bin_counts(
         wsum = out[:, n_hi:].reshape(b, n_hi * LO)[:, :size]
         return counts, wsum
     return counts, None
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
+                                             "chunk"))
+def pallas_points_occupancy(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    interpret: bool = False,
+    chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """(B, N, 3) raw points (+mask) → (B, size) f32 {0,1} occupancy with
+    the binarization (``counts > per-y-column min`` — the minmax parity
+    rule) fused into the histogram kernel epilogue: the int32 counts
+    never leave VMEM, skipping the XLA convert/reduce/compare HBM passes
+    of the counts-then-binarize path. Requires ``LO % n_y == 0`` (the
+    y-column layout assumption); callers route through
+    ``voxelize_batch_occupancy``, which falls back otherwise."""
+    b, n, _ = points.shape
+    n_x, n_y, n_z = grid_shape
+    assert LO % n_y == 0, (LO, n_y)
+    size = n_x * n_y * n_z
+    n_hi = -(-size // LO)
+    assert n_hi * LO == size, "binarize epilogue needs an exact hi/LO tiling"
+    if chunk is None:
+        chunk = 8192 if n_hi > 512 else CHUNK
+    if n % chunk:
+        pad = chunk - n % chunk
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        n += pad
+    n_chunks = n // chunk
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2).reshape(
+        b, 3, n_chunks, chunk)
+    m = mask.astype(jnp.int32).reshape(b, n_chunks, chunk)
+    w = jnp.zeros((b, n_chunks, chunk), jnp.int32)
+
+    pts_spec = pl.BlockSpec((1, 3, n_chunks, chunk), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_points_hist_kernel, grid_shape=grid_shape,
+                          n_hi=n_hi, channels=1, n_chunks=n_chunks,
+                          chunk=chunk, dtype=jnp.int8, binarize=True),
+        out_shape=jax.ShapeDtypeStruct((b, n_hi, LO), jnp.float32),
+        grid=(b,),
+        in_specs=[pts_spec, id_spec, id_spec],
+        out_specs=pl.BlockSpec((1, n_hi, LO), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_chunks, chunk), jnp.int32),
+                        pltpu.VMEM((n_hi, LO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pts_t, m, w)
+    return out.reshape(b, size)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret", "int8",

@@ -642,7 +642,18 @@ def voxelize_batch_occupancy(
     fast path for models that binarize their input (all of them)."""
     b = points.shape[0]
     n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    n_hi = -(-size // 512)
     if jax.default_backend() == "tpu":
+        if (not _use_sorted_hist(n_hi, points.shape[1], size)
+                and 512 % n_y == 0 and n_hi * 512 == size):
+            # fully-fused route: the binarization (counts > column-min)
+            # rides the kernel epilogue — the int32 counts never reach
+            # HBM (r5; exactness-tested vs the counts-then-binarize path)
+            from scenenet_tpu.ops.pallas_hist import pallas_points_occupancy
+
+            occ = pallas_points_occupancy(points, mask, grid_shape)
+            return occ.reshape(b, n_z, n_x, n_y)
         counts = _tpu_occupancy_counts(points, mask, grid_shape)
     else:
         flat = batch_flat_ids(points, mask, grid_shape)

@@ -183,7 +183,7 @@ class TestQuantilePallasBackend:
         orig = pc.geneo_stencil_conv_mxu
         monkeypatch.setattr(
             pc, "geneo_stencil_conv_mxu",
-            lambda x, k, activation=True, split=True: orig(
+            lambda x, k, activation=True, split=True, **kw: orig(
                 x, k, activation=activation, split=split, interpret=True))
         ref = ref_m.apply(ref_p, x)
         out = pal_m.apply(pal_p, x, inference="mxu")

@@ -305,3 +305,58 @@ class TestSortedPackedEdgeCases:
                                           err_msg=f"trial {trial}")
             np.testing.assert_array_equal(np.asarray(occ), ref_c,
                                           err_msg=f"trial {trial} occ")
+
+
+class TestFusedOccupancy:
+    """r5: the binarization (counts > per-y-column min, the minmax parity
+    rule) fused into the histogram kernel epilogue — the headline's vox
+    stage went 75.2 → 67.8 ms at batch 512 (benchmarks/r5_probe3,
+    on-chip exactness check included there)."""
+
+    def test_matches_counts_then_binarize(self):
+        from scenenet_tpu.ops.pallas_hist import (
+            pallas_points_bin_counts, pallas_points_occupancy,
+        )
+
+        rng = np.random.default_rng(0)
+        B, N, G = 3, 9000, (64, 64, 64)
+        pts = rng.uniform(0, 30, (B, N, 3)).astype(np.float32)
+        mask = np.arange(N)[None, :] < np.array([9000, 7000, 4500])[:, None]
+        counts, _ = pallas_points_bin_counts(
+            jnp.asarray(pts), jnp.asarray(mask), None, G, interpret=True,
+            channels=1)
+        counts = np.asarray(counts).reshape(B, 64, 64, 64)
+        colmin = counts.reshape(B, -1, 64).min(1)[:, None, None, :]
+        want = (counts > colmin).astype(np.float32)
+        occ = np.asarray(pallas_points_occupancy(
+            jnp.asarray(pts), jnp.asarray(mask), G, interpret=True))
+        np.testing.assert_array_equal(occ.reshape(B, 64, 64, 64), want)
+
+    def test_nonzero_colmin_column(self):
+        """The column-min rule differs from (counts > 0) exactly when a
+        whole y-column is occupied — pin that the fused epilogue keeps
+        the minmax-parity semantics, not the shortcut."""
+        from scenenet_tpu.ops.pallas_hist import pallas_points_occupancy
+
+        G = (8, 8, 8)
+        # every voxel of column y=0 gets ≥2 points; one voxel gets 3
+        pts = []
+        for iz in range(8):
+            for ix in range(8):
+                for _ in range(2):
+                    pts.append([ix + 0.5, 0.5, iz + 0.5])
+        pts.append([0.5, 0.5, 0.5])   # the 3-count voxel
+        # and a far corner point to pin the bounds to [0,8)³
+        pts.append([7.9, 7.9, 7.9])
+        pts = np.asarray(pts, np.float32)[None]
+        mask = np.ones(pts.shape[:2], bool)
+        occ = np.asarray(pallas_points_occupancy(
+            jnp.asarray(pts), jnp.asarray(mask), G,
+            interpret=True)).reshape(8, 8, 8)
+        # y=0 column: min is 2 (the corner voxel shares (z,x)=(7,7)?? no —
+        # (7.9,…) is y=7). Column y=0 has counts 2 everywhere except
+        # (z,x)=(0,0) with 3 → only that voxel exceeds the column min
+        col0 = occ[:, :, 0]
+        assert col0.sum() == 1 and col0[0, 0] == 1
+        # y=7 column: single occupied voxel, min 0 → stays occupied
+        assert occ[7, 7, 7] == 1

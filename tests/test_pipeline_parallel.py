@@ -118,6 +118,48 @@ class TestPipelineForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("mesh_shape,m", [((1, 2), 4), ((2, 2), 2)])
+    def test_unet_pipeline_matches_apply_eval(self, devices8, mesh_shape, m):
+        """VERDICT r4 #8: 2-stage GPipe over the UNet's down/up blocks
+        (stage boundary at the bottleneck, skip tuple shipped through the
+        ppermute hop) equals the single-device eval forward. Training PP
+        is architecturally rejected for this model (microbatched BN —
+        see make_unet_pipeline_inference_fn / docs/SCALING.md)."""
+        from scenenet_tpu.models import UNet3D
+        from scenenet_tpu.parallel.pp import make_unet_pipeline_inference_fn
+
+        model, variables = UNet3D.create(seed=0,
+                                         input_shape=(1, 1, 16, 16, 16))
+        mesh = make_mesh(mesh_shape, axis_names=("data", "stage"),
+                         devices=devices8[: mesh_shape[0] * mesh_shape[1]])
+        rng = np.random.default_rng(4)
+        x = (rng.random((8, 1, 16, 16, 16)) > 0.8).astype(np.float32)
+        params, mstate = model.split_variables(variables)
+        want = jax.jit(model.apply_eval)(params, mstate, x)
+        run = make_unet_pipeline_inference_fn(model, mesh, n_microbatches=m)
+        got = run(variables, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unet_stage_split_matches_full(self):
+        """encode→decode sub-graph composition == the plain forward (the
+        explicit block names keep one param tree across sub-graphs)."""
+        from scenenet_tpu.models import UNet3D
+
+        model, variables = UNet3D.create(seed=1,
+                                         input_shape=(1, 1, 16, 16, 16))
+        rng = np.random.default_rng(5)
+        x = (rng.random((2, 1, 16, 16, 16)) > 0.8).astype(np.float32)
+        params, mstate = model.split_variables(variables)
+        module = model._module()
+        full = module.apply({"params": params, **mstate}, x, train=False)
+        skips = module.apply({"params": params, **mstate}, x, train=False,
+                             stage="encode")
+        out = module.apply({"params": params, **mstate}, skips, train=False,
+                           stage="decode")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+
     def test_deep_stack_matches_sequential(self, devices8):
         """Generic S=4 uniform conv chain: pipeline_apply == a plain
         sequential loop over the stages."""

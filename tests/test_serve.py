@@ -184,6 +184,88 @@ class TestMicroBatching:
                       max_batch=3, batch_window_ms=0.0)
         assert p._batcher.max_batch == 2
 
+    def test_adaptive_low_load_skips_window(self):
+        """Adaptive mode (--max-batch auto): a lone request on an idle
+        server must dispatch immediately — no coalescing window — so low
+        load behaves like static batch-1 (VERDICT r4 #5)."""
+        import time as _t
+
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        p = _Pipeline(None, grid=(16, 16, 16), max_points=2048,
+                      max_batch=4, batch_window_ms=500.0, adaptive=True)
+        assert p._batcher.adaptive
+        rng = np.random.default_rng(3)
+        cloud = rng.uniform(0, 20, (700, 3)).astype(np.float32)
+        p.predict(cloud)  # prime the EWMA (first request has no interval)
+        t0 = _t.perf_counter()
+        p.predict(cloud)
+        dt = _t.perf_counter() - t0
+        # far below the 500 ms window ⇒ the window never opened
+        assert dt < 0.4, f"adaptive lone request waited the window ({dt:.3f}s)"
+        stats = p._batcher.stats_snapshot()
+        assert stats["windows_opened"] == 0
+        assert stats["requests"] == 2
+
+    def test_adaptive_wait_decision(self):
+        """The load-triggered window decision: fast arrivals (predicted
+        company ≥ _GAIN_MIN within the window) open it; slow or stale
+        arrival rates do not."""
+        import time as _t
+
+        from scenenet_tpu.cli.serve import _MicroBatcher
+
+        b = _MicroBatcher.__new__(_MicroBatcher)  # decision logic only
+        b.window = 0.05
+        b.adaptive = True
+        b._stats_lock = threading.Lock()
+        # fast arrivals: 1 ms apart → 50 predicted in a 50 ms window
+        b._ewma_interval = 0.001
+        b._last_arrival = _t.monotonic()
+        assert b._should_wait()
+        # slow arrivals: 100 ms apart → 0.5 predicted → don't wait
+        b._ewma_interval = 0.1
+        assert not b._should_wait()
+        # stale burst: rate was high but last arrival long past 10×EWMA
+        b._ewma_interval = 0.001
+        b._last_arrival = _t.monotonic() - 1.0
+        assert not b._should_wait()
+        # idle server: no estimate yet
+        b._ewma_interval = float("inf")
+        b._last_arrival = None
+        assert not b._should_wait()
+
+    def test_adaptive_concurrent_requests_coalesce_and_match(self):
+        """Under concurrency the adaptive batcher still coalesces (drained
+        queue + natural queueing) and results equal the batch-1 path."""
+        from scenenet_tpu.cli.serve import _Pipeline
+
+        kw = dict(grid=(16, 16, 16), max_points=2048)
+        direct = _Pipeline(None, **kw)
+        adaptive = _Pipeline(None, max_batch=4, batch_window_ms=50.0,
+                             adaptive=True, **kw)
+        rng = np.random.default_rng(5)
+        clouds = [rng.uniform(0, 25 + 3 * i, (600 + 90 * i, 3))
+                  .astype(np.float32) for i in range(4)]
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = adaptive.predict(clouds[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, cloud in enumerate(clouds):
+            ref_pred, ref_probs = direct.predict(cloud)
+            pred, probs = results[i]
+            np.testing.assert_allclose(pred, ref_pred, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(probs, ref_probs, rtol=1e-5,
+                                       atol=1e-6)
+        assert adaptive._batcher.stats_snapshot()["requests"] == 4
+
     def test_quantile_batched_gather(self):
         from scenenet_tpu.cli.serve import _Pipeline
 
