@@ -144,6 +144,13 @@ def main(argv=None):
     ap.add_argument("--device-only", action="store_true",
                     help="skip the HTTP server legs; just the in-process "
                          "device-side batched-vs-sequential A/B")
+    ap.add_argument("--adaptive-ab", action="store_true",
+                    help="mixed open/closed-load A/B of the three batching "
+                         "modes (VERDICT r4 #5): static-1, static-batched, "
+                         "adaptive (--max-batch auto) — each measured in a "
+                         "LOW regime (sequential requests) and a HIGH "
+                         "regime (threaded closed loop); adaptive should "
+                         "match static-1 in low and static-batched in high")
     ap.add_argument("--batched-only", action="store_true",
                     help="skip the direct server leg (re-run the batched "
                          "A/B against already-recorded direct numbers)")
@@ -232,6 +239,55 @@ def main(argv=None):
         finally:
             proc.terminate()
             proc.wait(timeout=30)
+
+    def run_ab_server(extra, label):
+        """One server, both regimes; prints a JSON line per regime."""
+        from json import dumps
+
+        log = tempfile.NamedTemporaryFile(
+            mode="w+b", prefix="serve_ab_", suffix=".log", delete=False)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "scenenet_tpu.cli.serve",
+             "--port", str(PORT), "--grid", str(args.grid),
+             "--max-points", str(args.max_points),
+             "--model", args.model, "--inference", args.inference] + extra,
+            stdout=log, stderr=subprocess.STDOUT)
+        try:
+            _wait_healthy(PORT, proc)
+            for _ in range(3):
+                _post(PORT, body)
+            # LOW regime: one request at a time (open, idle server)
+            e2e = []
+            for _ in range(args.requests):
+                e, _, _ = _post(PORT, body)
+                e2e.append(e)
+            print(dumps({"tag": "adaptive_ab", "mode": label,
+                         "regime": "low", "p50_ms": round(_pct(e2e, 50), 1),
+                         "p99_ms": round(_pct(e2e, 99), 1)}), flush=True)
+            # HIGH regime: threaded closed loop (sustained concurrency)
+            rps, lat = closed_loop(args.threads, max(args.requests
+                                                     // args.threads, 8))
+            rec = {"tag": "adaptive_ab", "mode": label, "regime": "high",
+                   "rps": round(rps, 1), "p50_ms": round(_pct(lat, 50), 1),
+                   "p99_ms": round(_pct(lat, 99), 1)}
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{PORT}/healthz") as r:
+                    rec["batching"] = json_loads(r.read()).get("batching")
+            except Exception:
+                pass
+            print(dumps(rec), flush=True)
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)
+
+    if args.adaptive_ab:
+        run_ab_server([], "static-1")
+        run_ab_server(["--max-batch", "32", "--batch-window-ms", "2"],
+                      "static-batched")
+        run_ab_server(["--max-batch", "auto", "--batch-window-ms", "2"],
+                      "adaptive")
+        return
 
     if not args.device_only:
         if not args.batched_only:

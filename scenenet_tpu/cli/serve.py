@@ -491,7 +491,25 @@ def make_handler(pipeline: _Pipeline):
     return Handler
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: a --max-batch server warms one
+    executable per power-of-two bucket at startup — minutes of fresh
+    compiles through a remote tunnel, instant on restart with the cache."""
+    try:
+        import os
+
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/jax_compilation")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description="Serve SCENE-Net inference")
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--port", type=int, default=8400)

@@ -193,16 +193,17 @@ class TestMicroBatching:
         from scenenet_tpu.cli.serve import _Pipeline
 
         p = _Pipeline(None, grid=(16, 16, 16), max_points=2048,
-                      max_batch=4, batch_window_ms=500.0, adaptive=True)
+                      max_batch=4, batch_window_ms=1000.0, adaptive=True)
         assert p._batcher.adaptive
         rng = np.random.default_rng(3)
         cloud = rng.uniform(0, 20, (700, 3)).astype(np.float32)
         p.predict(cloud)  # prime the EWMA (first request has no interval)
+        _t.sleep(2.0)     # low-load spacing: 0.5 rps ≪ the break-even
         t0 = _t.perf_counter()
         p.predict(cloud)
         dt = _t.perf_counter() - t0
-        # far below the 500 ms window ⇒ the window never opened
-        assert dt < 0.4, f"adaptive lone request waited the window ({dt:.3f}s)"
+        # far below the 1 s window ⇒ the window never opened
+        assert dt < 0.9, f"adaptive lone request waited the window ({dt:.3f}s)"
         stats = p._batcher.stats_snapshot()
         assert stats["windows_opened"] == 0
         assert stats["requests"] == 2
