@@ -164,14 +164,15 @@ class SceneNet:
 
         ``inference="mxu"`` (pallas backend) takes the banded-y MXU
         stencil (:func:`~scenenet_tpu.ops.pallas_conv.geneo_stencil_conv_mxu`,
-        split-bf16, near-f32 — max|Δ| ~5e-6 class): the k_y lane-rotates
-        fold into 128-aligned MXU contractions. ``inference="mxu_fast"``
-        drops the residual dot (single-bf16: ~1e-2-class probability
-        deltas, growing with kernel magnitude — measured 0.0028% τ=0.65
-        mask flips over 134 M voxels end-to-end at the headline shape):
-        the right choice when the output is the thresholded mask.
-        Non-VMEM-resident volumes fall back to the streamed MXU variant
-        automatically.
+        hi|lo lane-packed split-bf16, near-f32 — max|Δ| ~5e-6, ZERO
+        τ-mask flips over 134 M voxels at the headline shape): the k_y
+        lane-rotates fold into 128-aligned MXU contractions, with the
+        split's residual packed into the otherwise-wasted N lanes.
+        ``inference="mxu_fast"`` (single-bf16, N=yy dots) is RETAINED
+        FOR COMPATIBILITY but obsolete since round 5: the packed split
+        is both faster (28.1 vs 29.0 ms conv-only at batch 512) and
+        tighter — prefer ``"mxu"``. Non-VMEM-resident volumes fall back
+        to the streamed MXU variant automatically.
 
         ``tau`` (static float) returns the τ-thresholded {0,1} mask
         instead of probabilities — ``(relu(tanh(c)) >= τ).astype(f32)``,

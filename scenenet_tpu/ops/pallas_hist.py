@@ -162,7 +162,6 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref,
     flat_ref[...] = _bin_flat_ids_in_kernel(pts_ref, m, grid_shape,
                                             invalid=n_hi * LO)
     if binarize:
-        assert channels == 1, "binarize is a single-channel contract"
         acc_dtype = jnp.int32
         acc32_ref[...] = jnp.zeros_like(acc32_ref[...])
 
@@ -181,10 +180,16 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref,
         if channels == 2:
             wrow = w_ref[0, pl.ds(c, 1)]  # (1, chunk)
             awt = jnp.logical_and(mask_hi, wrow != 0).astype(dtype)
-            o_ref[0, :n_hi] += lax.dot_general(
-                at, b, dims, preferred_element_type=acc_dtype)
-            o_ref[0, n_hi:] += lax.dot_general(
-                awt, b, dims, preferred_element_type=acc_dtype)
+            if binarize:
+                acc32_ref[:n_hi] += lax.dot_general(
+                    at, b, dims, preferred_element_type=acc_dtype)
+                acc32_ref[n_hi:] += lax.dot_general(
+                    awt, b, dims, preferred_element_type=acc_dtype)
+            else:
+                o_ref[0, :n_hi] += lax.dot_general(
+                    at, b, dims, preferred_element_type=acc_dtype)
+                o_ref[0, n_hi:] += lax.dot_general(
+                    awt, b, dims, preferred_element_type=acc_dtype)
             return acc
         d = lax.dot_general(at, b, dims, preferred_element_type=acc_dtype)
         if binarize:
@@ -198,7 +203,7 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref,
         n_y = grid_shape[1]
         groups = LO // n_y
         assert groups & (groups - 1) == 0, "binarize needs 2^k lo-groups"
-        counts = acc32_ref[...]
+        counts = acc32_ref[:n_hi] if channels == 2 else acc32_ref[...]
         # per-y-column min: rows first (lanewise), then fold the LO/n_y
         # lo-groups with log₂(groups) cyclic lane-rotates — {l + k·n_y
         # mod LO} is exactly the congruence class of l mod n_y, so after
@@ -210,7 +215,12 @@ def _points_hist_kernel(pts_ref, m_ref, w_ref, o_ref, flat_ref,
         while shift < LO:
             m0 = jnp.minimum(m0, jnp.roll(m0, -shift, axis=1))
             shift *= 2
-        o_ref[0] = (counts > m0).astype(jnp.float32)
+        if channels == 2:
+            # x = occupancy (counts > column min); y = tower presence
+            o_ref[0, :n_hi] = (counts > m0).astype(jnp.float32)
+            o_ref[0, n_hi:] = (acc32_ref[n_hi:] > 0).astype(jnp.float32)
+        else:
+            o_ref[0] = (counts > m0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
@@ -339,6 +349,67 @@ def pallas_points_occupancy(
         interpret=interpret,
     )(pts_t, m, w)
     return out.reshape(b, size)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "interpret",
+                                             "chunk"))
+def pallas_points_binary(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    tower_w: jnp.ndarray,
+    grid_shape: Tuple[int, int, int],
+    interpret: bool = False,
+    chunk: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-channel twin of :func:`pallas_points_occupancy` for the
+    TRAINING prep: (B, N, 3) raw points (+mask, {0,1} tower indicator) →
+    ((B, size) occupancy, (B, size) tower-presence), both f32 {0,1},
+    binarization fused into the kernel epilogue — exactly
+    ``voxelize_batch_binary``'s outputs with the counts never leaving
+    VMEM. Same layout gates as the occupancy wrapper."""
+    b, n, _ = points.shape
+    n_x, n_y, n_z = grid_shape
+    assert LO % n_y == 0, (LO, n_y)
+    size = n_x * n_y * n_z
+    n_hi = -(-size // LO)
+    assert n_hi * LO == size, "binarize epilogue needs an exact hi/LO tiling"
+    if chunk is None:
+        chunk = 8192 if n_hi > 512 else CHUNK
+    if n % chunk:
+        pad = chunk - n % chunk
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        tower_w = jnp.pad(tower_w, ((0, 0), (0, pad)))
+        n += pad
+    n_chunks = n // chunk
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2).reshape(
+        b, 3, n_chunks, chunk)
+    m = mask.astype(jnp.int32).reshape(b, n_chunks, chunk)
+    w = tower_w.astype(jnp.int32).reshape(b, n_chunks, chunk)
+
+    pts_spec = pl.BlockSpec((1, 3, n_chunks, chunk), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    id_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_points_hist_kernel, grid_shape=grid_shape,
+                          n_hi=n_hi, channels=2, n_chunks=n_chunks,
+                          chunk=chunk, dtype=jnp.int8, binarize=True),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * n_hi, LO), jnp.float32),
+        grid=(b,),
+        in_specs=[pts_spec, id_spec, id_spec],
+        out_specs=pl.BlockSpec((1, 2 * n_hi, LO), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_chunks, chunk), jnp.int32),
+                        pltpu.VMEM((2 * n_hi, LO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pts_t, m, w)
+    return (out[:, :n_hi].reshape(b, size),
+            out[:, n_hi:].reshape(b, size))
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret", "int8",

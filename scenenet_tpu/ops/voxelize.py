@@ -461,10 +461,23 @@ def voxelize_batch_binary(
     """
     b = points.shape[0]
     n_x, n_y, n_z = grid_shape
+    size = n_x * n_y * n_z
+    n_hi = -(-size // 512)
     is_tower = _is_tower(labels, keep_labels)
     if jax.default_backend() == "tpu":
+        tower_w = jnp.logical_and(is_tower, mask)
+        if (not _use_sorted_hist(n_hi, points.shape[1], size)
+                and 512 % n_y == 0 and n_hi * 512 == size):
+            # fully-fused route (r5): both channels binarized in the
+            # kernel epilogue — counts never reach HBM (exactness-tested
+            # vs the counts-then-binarize path)
+            from scenenet_tpu.ops.pallas_hist import pallas_points_binary
+
+            x, y = pallas_points_binary(points, mask, tower_w, grid_shape)
+            return (x.reshape(b, n_z, n_x, n_y),
+                    y.reshape(b, n_z, n_x, n_y))
         counts, tower = _tpu_two_channel_counts(
-            points, mask, jnp.logical_and(is_tower, mask), grid_shape)
+            points, mask, tower_w, grid_shape)
         counts = counts.reshape(b, n_z, n_x, n_y)
         tower = tower.reshape(b, n_z, n_x, n_y)
     else:

@@ -360,3 +360,31 @@ class TestFusedOccupancy:
         assert col0.sum() == 1 and col0[0, 0] == 1
         # y=7 column: single occupied voxel, min 0 → stays occupied
         assert occ[7, 7, 7] == 1
+
+    def test_two_channel_binary_matches(self):
+        """r5 train-prep twin: both channels binarized in-kernel equals
+        the counts-then-binarize composition (x: counts > column min,
+        y: tower counts > 0)."""
+        from scenenet_tpu.ops.pallas_hist import (
+            pallas_points_bin_counts, pallas_points_binary,
+        )
+
+        rng = np.random.default_rng(1)
+        B, N, G = 3, 9000, (64, 64, 64)
+        pts = rng.uniform(0, 30, (B, N, 3)).astype(np.float32)
+        mask = np.arange(N)[None, :] < np.array([9000, 7000, 4500])[:, None]
+        tower = (rng.random((B, N)) < 0.03) & mask
+        counts, tw = pallas_points_bin_counts(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(tower), G,
+            interpret=True, channels=2)
+        counts = np.asarray(counts).reshape(B, 64, 64, 64)
+        tw = np.asarray(tw).reshape(B, 64, 64, 64)
+        colmin = counts.reshape(B, -1, 64).min(1)[:, None, None, :]
+        x, y = pallas_points_binary(jnp.asarray(pts), jnp.asarray(mask),
+                                    jnp.asarray(tower), G, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(x).reshape(B, 64, 64, 64),
+            (counts > colmin).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(y).reshape(B, 64, 64, 64),
+            (tw > 0).astype(np.float32))
