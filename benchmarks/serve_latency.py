@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FIXTURE = "/root/reference/data-sample/sample_575.npy"
 PORT = 8437
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _server_env():
+    """Subprocess env with the repo importable. PREPEND to PYTHONPATH —
+    overwriting it would drop this environment's sitecustomize dir
+    (/root/.axon_site) and with it the axon TPU plugin registration."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
 
 def _wait_healthy(port: int, proc: subprocess.Popen, timeout: float = 900.0):
     """Generous: a --max-batch server warms one executable per
@@ -206,7 +217,7 @@ def main(argv=None):
              "--port", str(PORT), "--grid", str(args.grid),
              "--max-points", str(args.max_points),
              "--model", args.model, "--inference", args.inference] + extra,
-            stdout=log, stderr=subprocess.STDOUT)
+            stdout=log, stderr=subprocess.STDOUT, env=_server_env())
         print(f"  [{label}] server log: {log.name}")
         try:
             _wait_healthy(PORT, proc)
@@ -251,7 +262,7 @@ def main(argv=None):
              "--port", str(PORT), "--grid", str(args.grid),
              "--max-points", str(args.max_points),
              "--model", args.model, "--inference", args.inference] + extra,
-            stdout=log, stderr=subprocess.STDOUT)
+            stdout=log, stderr=subprocess.STDOUT, env=_server_env())
         try:
             _wait_healthy(PORT, proc)
             for _ in range(3):

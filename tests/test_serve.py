@@ -236,6 +236,67 @@ class TestMicroBatching:
         b._last_arrival = None
         assert not b._should_wait()
 
+    def test_adaptive_throughput_probe_decision(self):
+        """The link-level coalescing decision is a phase-based THROUGHPUT
+        probe (per-request latency is confounded under saturation — queue
+        delay divides by batch size): probe both modes, commit to the
+        measured winner, re-probe periodically."""
+        from scenenet_tpu.cli.serve import _MicroBatcher
+
+        b = _MicroBatcher.__new__(_MicroBatcher)
+        b.adaptive = True
+        b._stats_lock = threading.Lock()
+        b._mode = "multi"
+        b._phase_len = _MicroBatcher._PROBE_LEN
+        b._phase_count = 0
+        b._phase_reqs = 0
+        b._phase_t0 = None
+        b._tp = {"multi": None, "single": None}
+        assert b._should_coalesce()  # optimistic initial probe
+
+        def run_until_rotation(reqs_per_call, bound=1000):
+            start = b._mode
+            for _ in range(bound):
+                b._note_completion(reqs_per_call)
+                if b._mode != start or b._phase_reqs == 0:
+                    return
+            raise AssertionError("phase never rotated")
+
+        # multi probe completes → rotates to the single probe
+        run_until_rotation(4)
+        assert b._mode == "single" and not b._should_coalesce()
+        assert b._tp["multi"] is not None
+        # single probe completes → both measured → committed to winner
+        run_until_rotation(1)
+        assert b._tp["single"] is not None
+        best = "multi" if b._tp["multi"] >= b._tp["single"] else "single"
+        assert b._mode == best
+        assert b._phase_len == _MicroBatcher._COMMIT_LEN
+        # direct_mode() mirrors the phase
+        assert b.direct_mode() == (b._mode == "single")
+
+    def test_adaptive_phase_discards_idle_samples(self):
+        """A probe phase stretched past _PHASE_MAX_S (low load) must not
+        record a bogus throughput sample."""
+        import time as _t
+
+        from scenenet_tpu.cli.serve import _MicroBatcher
+
+        b = _MicroBatcher.__new__(_MicroBatcher)
+        b.adaptive = True
+        b._stats_lock = threading.Lock()
+        b._mode = "multi"
+        b._phase_len = 2
+        b._phase_count = 0
+        b._phase_reqs = 0
+        b._phase_t0 = _t.monotonic() - 60.0  # stale first completion
+        b._tp = {"multi": None, "single": None}
+        b._phase_count = 1
+        b._phase_reqs = 3
+        b._note_completion(1)  # closes the phase, wall ≈ 60 s > max
+        assert b._tp["multi"] is None  # sample discarded
+        assert b._mode == "single"     # still rotates to probe the other
+
     def test_adaptive_concurrent_requests_coalesce_and_match(self):
         """Under concurrency the adaptive batcher still coalesces (drained
         queue + natural queueing) and results equal the batch-1 path."""
